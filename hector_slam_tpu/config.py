@@ -1,0 +1,151 @@
+"""Static configuration for the TPU-native hector-slam engine.
+
+Replaces the reference's ROS parameter server + launch-file injection
+(reference: hector_mapping/src/HectorMappingRos.cpp:59-108,
+hector_mapping/launch/mapping_default.launch). All values are consumed at
+``jax.jit`` trace time, so every field is static Python data (hashable,
+frozen dataclasses).
+
+Defaults reproduce the hector_mapping node defaults:
+  - resolution 0.025 m, 1024x1024 cells, 3 pyramid levels
+    (HectorMappingRos.cpp:66-70)
+  - update factors free=0.4, occupied=0.9 (HectorMappingRos.cpp:72-73)
+  - map-update gate 0.4 m / 0.9 rad (HectorMappingRos.cpp:75-76)
+  - map starts centered: start_coords (0.5, 0.5) (HectorMappingRos.cpp:113)
+  - GN iterations: 5 at the finest level, 3 at coarser levels, each +1
+    (MapRepMultiMap.h:125-128, ScanMatcher.h:74,94)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Geometry of the multi-resolution occupancy-grid pyramid.
+
+    Level i has cell length ``resolution * 2**i`` and dimensions
+    ``size // 2**i`` (MapRepMultiMap.h:48-72: ``resolution /= 2;
+    mapResolution *= 2.0f`` per level). All levels share one world-frame
+    top-left offset ``total_map_size * start_coords``.
+    """
+
+    resolution: float = 0.025          # finest cell length [m]
+    size_x: int = 1024                 # finest grid cells (x)
+    size_y: int = 1024                 # finest grid cells (y)
+    levels: int = 3                    # pyramid depth
+    start_coords: Tuple[float, float] = (0.5, 0.5)  # map origin fraction
+
+    def level_resolution(self, level: int) -> float:
+        # C++ builds this by repeated *=2.0f on a float32; for the default
+        # power-of-two ladder the result is exact either way.
+        return self.resolution * float(2 ** level)
+
+    def level_size(self, level: int) -> Tuple[int, int]:
+        # integer halving per level (Eigen Vector2i /= 2)
+        sx, sy = self.size_x, self.size_y
+        for _ in range(level):
+            sx //= 2
+            sy //= 2
+        return sx, sy
+
+    @property
+    def top_left_offset(self) -> Tuple[float, float]:
+        # MapRepMultiMap.h:53-57: totalMapSize * startCoords, shared by all
+        # levels (so they cover the same world rectangle).
+        return (
+            self.resolution * float(self.size_x) * self.start_coords[0],
+            self.resolution * float(self.size_y) * self.start_coords[1],
+        )
+
+    def level_scale(self, level: int) -> float:
+        """world->map scale for a level (1 / cellLength)."""
+        return 1.0 / self.level_resolution(level)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Gauss-Newton scan matcher parameters (ScanMatcher.h:54-226)."""
+
+    iterations_finest: int = 5         # MapRepMultiMap.h:125
+    iterations_coarse: int = 3         # MapRepMultiMap.h:128
+    # NOTE: the reference runs (iterations + 1) GN steps: one call before
+    # the loop plus `iterations` in the loop (ScanMatcher.h:74,94).
+    angle_step_clamp: float = 0.2      # |dtheta| per GN step (ScanMatcher.h:209-215)
+
+
+@dataclasses.dataclass(frozen=True)
+class UpdateConfig:
+    """Log-odds map update parameters (GridMapLogOdds.h, OccGridMapBase.h)."""
+
+    update_factor_free: float = 0.4        # HectorMappingRos.cpp:72
+    update_factor_occupied: float = 0.9    # HectorMappingRos.cpp:73
+    log_odds_clamp_occupied: float = 50.0  # GridMapLogOdds.h:137
+
+    @staticmethod
+    def _prob_to_log_odds(p: float) -> float:
+        # Match the reference's probToLogOdds (GridMapLogOdds.h:199-203)
+        # to the bit: odds is an f32 division, the unqualified C++
+        # ``log(odds)`` promotes to double and the float return rounds
+        # back — i.e. f32(log(f64(f32(p)/f32(1-p)))).
+        import numpy as np
+        pf = np.float32(p)
+        odds = pf / (np.float32(1.0) - pf)
+        return float(np.float32(math.log(float(odds))))
+
+    @property
+    def log_odds_free(self) -> float:
+        return self._prob_to_log_odds(self.update_factor_free)
+
+    @property
+    def log_odds_occupied(self) -> float:
+        return self._prob_to_log_odds(self.update_factor_occupied)
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Top-level engine config (HectorSlamProcessor.h + node params)."""
+
+    map: MapConfig = MapConfig()
+    match: MatchConfig = MatchConfig()
+    update: UpdateConfig = UpdateConfig()
+    # map-update pose gate (HectorSlamProcessor.h:89-95; node defaults
+    # HectorMappingRos.cpp:75-76)
+    map_update_distance_thresh: float = 0.4
+    map_update_angle_thresh: float = 0.9
+    # static scan geometry: beams are padded to this many points so the
+    # jitted step has one shape. 1081 (UTM-30LX) pads to 1152 = 9*128,
+    # a multiple of the 128-lane VPU width.
+    max_beams: int = 1152
+    # static cap on free cells per ray for the map-update scatter
+    # (max laser range / finest cell length, rounded up). 30 m / 0.025 m.
+    max_ray_cells: int = 1216
+
+    def level_max_ray_cells(self, level: int) -> int:
+        k = self.max_ray_cells
+        for _ in range(level):
+            k = (k + 1) // 2
+        # keep a small safety margin and 8-alignment
+        return max(8, ((k + 9) // 8) * 8)
+
+
+# Tutorial configuration (hector_slam_launch/launch/tutorial.launch via
+# mapping_default.launch: resolution 0.05, size 2048, 2 levels,
+# gate 0.4 m / 0.06 rad).
+TUTORIAL_CONFIG = SlamConfig(
+    map=MapConfig(resolution=0.05, size_x=2048, size_y=2048, levels=2),
+    map_update_distance_thresh=0.4,
+    map_update_angle_thresh=0.06,
+    max_ray_cells=640,
+)
+
+# Benchmark configuration from BASELINE.json config 1/4: 1024^2 @ 0.05 m.
+BENCH_CONFIG = SlamConfig(
+    map=MapConfig(resolution=0.05, size_x=1024, size_y=1024, levels=3),
+    max_ray_cells=640,
+)
+
+DEFAULT_CONFIG = SlamConfig()

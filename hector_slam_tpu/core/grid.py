@@ -1,0 +1,75 @@
+"""Grid geometry: world<->map transforms, bounds, probability conversion.
+
+TPU-native reimplementation of the reference's GridMapBase transform math
+(map/GridMapBase.h:265-280) and log-odds probability conversion
+(map/GridMapLogOdds.h:163-167). No lazy probability cache
+(map/GridMapCacheArray.h): on TPU we apply the sigmoid directly to the
+gathered cell values — 4N exps per iteration instead of a 2^20-cell shadow
+array, and numerically identical per cell.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import MapConfig
+
+
+def world_to_map(xy: jnp.ndarray, offset, scale) -> jnp.ndarray:
+    """mapTworld = Scaling(1/cell) * Translation(offset): map = (w + o) * s
+    (GridMapBase.h:272)."""
+    off = jnp.asarray(offset, jnp.float32)
+    return (xy + off) * jnp.float32(scale)
+
+
+def map_to_world(xy: jnp.ndarray, offset, cell_length) -> jnp.ndarray:
+    """worldTmap = mapTworld^-1: world = m * cell - o (GridMapBase.h:279)."""
+    off = jnp.asarray(offset, jnp.float32)
+    return xy * jnp.float32(cell_length) - off
+
+
+def world_to_map_pose(pose: jnp.ndarray, offset, scale) -> jnp.ndarray:
+    """Pose transforms touch x,y only; theta passes through
+    (GridMapBase.h:235-239)."""
+    m = world_to_map(pose[..., :2], offset, scale)
+    return jnp.concatenate([m, pose[..., 2:]], axis=-1)
+
+
+def map_to_world_pose(pose: jnp.ndarray, offset, cell_length) -> jnp.ndarray:
+    w = map_to_world(pose[..., :2], offset, cell_length)
+    return jnp.concatenate([w, pose[..., 2:]], axis=-1)
+
+
+def log_odds_to_prob(log_odds: jnp.ndarray) -> jnp.ndarray:
+    """odds/(odds+1) exactly as GridMapLogOdds.h:163-167 (the occupied-side
+    log-odds clamp at 50 keeps exp finite)."""
+    odds = jnp.exp(log_odds)
+    return odds / (odds + jnp.float32(1.0))
+
+
+def normalize_angle(angle: jnp.ndarray) -> jnp.ndarray:
+    """util/UtilFunctions.h:37-49: fmod to [0, 2pi), then shift > pi."""
+    two_pi = jnp.float32(2.0 * jnp.pi)
+    a = jnp.fmod(jnp.fmod(angle, two_pi) + two_pi, two_pi)
+    return jnp.where(a > jnp.float32(jnp.pi), a - two_pi, a)
+
+
+def pose_difference_larger_than(pose1: jnp.ndarray, pose2: jnp.ndarray,
+                                dist_thresh, angle_thresh) -> jnp.ndarray:
+    """Map-update gate predicate (util/UtilFunctions.h:73-92)."""
+    d = pose1[:2] - pose2[:2]
+    dist_exceeded = jnp.sqrt(jnp.sum(d * d)) > jnp.float32(dist_thresh)
+    angle_diff = pose1[2] - pose2[2]
+    pi = jnp.float32(jnp.pi)
+    angle_diff = jnp.where(angle_diff > pi, angle_diff - 2 * pi, angle_diff)
+    angle_diff = jnp.where(angle_diff < -pi, angle_diff + 2 * pi, angle_diff)
+    return dist_exceeded | (jnp.abs(angle_diff) > jnp.float32(angle_thresh))
+
+
+def init_log_odds_pyramid(cfg: MapConfig):
+    """Freshly reset pyramid: all cells 0 log-odds (GridMapLogOdds.h:89-93)."""
+    grids = []
+    for lvl in range(cfg.levels):
+        sx, sy = cfg.level_size(lvl)
+        grids.append(jnp.zeros((sy, sx), jnp.float32))
+    return tuple(grids)

@@ -1,0 +1,116 @@
+"""Beam-parallel bilinear map interpolation with hector_slam's quirk
+gradients, and the JtJ/JtR normal-equation accumulation.
+
+This is THE hot kernel (reference call stack SURVEY.md §3.1): the C++
+version iterates ~1081 beams serially through
+OccGridMapUtil::interpMapValueWithDerivatives (OccGridMapUtil.h:287-347)
+and accumulates H/dTr scalar-by-scalar (OccGridMapUtil.h:64-104). Here the
+beam axis is fully vectorized on the VPU (gather of 4 neighbors per beam +
+elementwise math) and the 3x3 accumulation becomes a [3,N]@[N,3] matmul.
+
+Discrete behaviors replicated exactly:
+  - out-of-bounds rule ``coord < 0 or coord > size-2``
+    (MapDimensionProperties.h:65-73) -> (0,0,0) contribution
+  - floor by int cast (OccGridMapUtil.h:295)
+  - neighbor fetch P00=idx, P10=idx+1, P01=idx+sizeX, P11=idx+sizeX+1
+    (OccGridMapUtil.h:302-330)
+  - GRADIENT QUIRK (OccGridMapUtil.h:332-346): x-gradient blends the two
+    row-differences with the *x* fractional factor (not y), y-gradient
+    blends the column-differences with the *y* factor (not x).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from .grid import log_odds_to_prob
+
+_F1 = jnp.float32(1.0)
+
+
+def interp_with_derivatives(
+    log_odds: jnp.ndarray,   # f32[H, W] one pyramid level
+    coords: jnp.ndarray,     # f32[..., 2] map coords
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (M, dM/dx, dM/dy), each f32[...]; zeros when out of bounds."""
+    h, w = log_odds.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    # bounds: strictly reject > size-2 so the +1 neighbor stays valid
+    in_bounds = (
+        (x >= 0.0) & (x <= jnp.float32(w - 2))
+        & (y >= 0.0) & (y <= jnp.float32(h - 2))
+    )
+    # int cast truncates toward zero == floor for the in-bounds (>=0) case
+    xi = jnp.clip(x.astype(jnp.int32), 0, w - 2)
+    yi = jnp.clip(y.astype(jnp.int32), 0, h - 2)
+    fx = x - xi.astype(jnp.float32)
+    fy = y - yi.astype(jnp.float32)
+
+    # gather 4 neighbors, convert the gathered log-odds to probabilities
+    # (replaces the lazy per-cell cache, GridMapCacheArray.h:80-90)
+    p00 = log_odds_to_prob(log_odds[yi, xi])
+    p10 = log_odds_to_prob(log_odds[yi, xi + 1])
+    p01 = log_odds_to_prob(log_odds[yi + 1, xi])
+    p11 = log_odds_to_prob(log_odds[yi + 1, xi + 1])
+
+    dx1 = p00 - p10
+    dx2 = p01 - p11
+    dy1 = p00 - p01
+    dy2 = p10 - p11
+    xfi = _F1 - fx
+    yfi = _F1 - fy
+
+    value = (p00 * xfi + p10 * fx) * yfi + (p01 * xfi + p11 * fx) * fy
+    grad_x = -((dx1 * xfi) + (dx2 * fx))   # quirk: x-weighted row blend
+    grad_y = -((dy1 * yfi) + (dy2 * fy))   # quirk: y-weighted column blend
+
+    zero = jnp.float32(0.0)
+    return (
+        jnp.where(in_bounds, value, zero),
+        jnp.where(in_bounds, grad_x, zero),
+        jnp.where(in_bounds, grad_y, zero),
+    )
+
+
+def hessian_derivs(
+    log_odds: jnp.ndarray,    # f32[H, W]
+    pose_map: jnp.ndarray,    # f32[3] pose in this level's map coords
+    points: jnp.ndarray,      # f32[N, 2] beam endpoints (map-scale, robot frame)
+    mask: jnp.ndarray,        # bool[N]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """getCompleteHessianDerivs (OccGridMapUtil.h:64-104), beam-parallel.
+
+    Returns (H f32[3,3], dTr f32[3]). Padded/out-of-bounds beams contribute
+    exactly zero to every accumulator (their gradients are zero), matching
+    the reference which skips them via the (0,0,0) interp return.
+    """
+    sin_rot = jnp.sin(pose_map[2])
+    cos_rot = jnp.cos(pose_map[2])
+
+    px = points[:, 0]
+    py = points[:, 1]
+    tx = cos_rot * px - sin_rot * py + pose_map[0]
+    ty = sin_rot * px + cos_rot * py + pose_map[1]
+
+    m, gx, gy = interp_with_derivatives(
+        log_odds, jnp.stack([tx, ty], axis=-1))
+    # mask padded beams (the reference never sees them at all)
+    valid = mask
+    gx = jnp.where(valid, gx, 0.0)
+    gy = jnp.where(valid, gy, 0.0)
+    m = jnp.where(valid, m, 0.0)
+
+    fun_val = _F1 - m
+    rot_deriv = (-sin_rot * px - cos_rot * py) * gx + \
+        (cos_rot * px - sin_rot * py) * gy
+    rot_deriv = jnp.where(valid, rot_deriv, 0.0)
+
+    jac = jnp.stack([gx, gy, rot_deriv], axis=-1)          # [N, 3]
+    # J^T J -> 3x3 (a tiny matmul; batched versions of this land on the MXU)
+    hess = jnp.dot(jac.T, jac, preferred_element_type=jnp.float32)
+    # J^T r; fun_val of a masked beam is multiplied by a zero jacobian row
+    dtr = jnp.dot(jac.T, fun_val, preferred_element_type=jnp.float32)
+    return hess, dtr

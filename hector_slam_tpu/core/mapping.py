@@ -1,0 +1,175 @@
+"""Log-odds occupancy map update: closed-form Bresenham rasterization plus
+a commutative scatter, replacing the serial per-beam loop of
+map/OccGridMapBase.h:121-260.
+
+Key insight for TPU: the reference's per-scan updateIndex bookkeeping
+(OccGridMapBase.h:216-241) makes the sequential update order-independent at
+scan granularity —
+  - each cell receives the free delta at most once per scan,
+  - each cell receives the occupied delta at most once per scan,
+  - occupied always wins over free within a scan (a cell marked free and
+    then hit gets the free delta reverted via updateUnsetFree),
+  - the occupied clamp (logOdds < 50, GridMapLogOdds.h:135-140) tests the
+    cell value from *before* this scan's update (the free add is reverted
+    before the clamp check).
+So the final per-scan effect is exactly:
+  new = old + logOddsFree  * [cell in free-set and not in occ-set]
+            + logOddsOcc   * [cell in occ-set and old < 50]
+which is two boolean masks — computable with commutative scatter-OR, no
+sequential hazard. That is what this module does.
+
+The Bresenham path itself is replicated cell-exactly in closed form: for
+the integer line algorithm of OccGridMapBase.h:243-260 (error seeded with
+abs_da/2), the minor-axis offset after j dominant steps is
+``(abs_da//2 + j*abs_db) // abs_da`` — so every free cell's flat offset is
+a direct formula over (beam, step), a dense [N, K] integer computation on
+the VPU with no data-dependent loop.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..types import Scan
+from .grid import world_to_map_pose
+
+_OCC_CLAMP = jnp.float32(50.0)
+
+
+def _sign_ref(x: jnp.ndarray) -> jnp.ndarray:
+    """util/UtilFunctions.h:56 — sign(0) == -1 (harmless: the minor axis
+    offset is only applied when abs_db > 0)."""
+    return jnp.where(x > 0, 1, -1).astype(jnp.int32)
+
+
+def rasterize_scan(
+    grid_shape: Tuple[int, int],
+    pose_world: jnp.ndarray,
+    scan_points: jnp.ndarray,   # f32[N,2] this level's scaled points
+    scan_origo: jnp.ndarray,    # f32[2]
+    scan_mask: jnp.ndarray,     # bool[N]
+    offset,
+    scale,
+    max_ray_cells: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Computes the per-scan free/occupied boolean grids for one level.
+
+    Returns (free_set bool[H,W], occ_set bool[H,W]).
+    """
+    h, w = grid_shape
+    num_cells = h * w
+
+    pose_map = world_to_map_pose(pose_world, offset, scale)
+    s = jnp.sin(pose_map[2])
+    c = jnp.cos(pose_map[2])
+
+    # beam start: transform origo, round via +0.5 then int cast
+    # (OccGridMapBase.h:134-137)
+    ox = c * scan_origo[0] - s * scan_origo[1] + pose_map[0]
+    oy = s * scan_origo[0] + c * scan_origo[1] + pose_map[1]
+    bx = (ox + jnp.float32(0.5)).astype(jnp.int32)
+    by = (oy + jnp.float32(0.5)).astype(jnp.int32)
+
+    # beam endpoints, same rounding (OccGridMapBase.h:148-155)
+    ex_f = c * scan_points[:, 0] - s * scan_points[:, 1] + pose_map[0]
+    ey_f = s * scan_points[:, 0] + c * scan_points[:, 1] + pose_map[1]
+    ex = (ex_f + jnp.float32(0.5)).astype(jnp.int32)
+    ey = (ey_f + jnp.float32(0.5)).astype(jnp.int32)
+
+    # beam validity: skip if start==end cell (OccGridMapBase.h:158), or
+    # start/end outside the map (OccGridMapBase.h:176,186)
+    begin_in = (bx >= 0) & (bx < w) & (by >= 0) & (by < h)
+    end_in = (ex >= 0) & (ex < w) & (ey >= 0) & (ey < h)
+    differs = (ex != bx) | (ey != by)
+    valid = scan_mask & differs & begin_in & end_in
+
+    dx = ex - bx
+    dy = ey - by
+    abs_dx = jnp.abs(dx)
+    abs_dy = jnp.abs(dy)
+    offset_dx = _sign_ref(dx)
+    offset_dy = _sign_ref(dy) * w
+
+    x_dom = abs_dx >= abs_dy
+    abs_da = jnp.where(x_dom, abs_dx, abs_dy)
+    abs_db = jnp.where(x_dom, abs_dy, abs_dx)
+    offset_a = jnp.where(x_dom, offset_dx, offset_dy)
+    offset_b = jnp.where(x_dom, offset_dy, offset_dx)
+    start_offset = by * w + bx
+
+    # closed-form Bresenham: free cell j (j = 0..abs_da-1) sits at
+    # start + j*offset_a + ((abs_da//2 + j*abs_db)//abs_da)*offset_b
+    abs_da_safe = jnp.maximum(abs_da, 1)  # valid beams have abs_da >= 1
+    steps = jnp.arange(max_ray_cells, dtype=jnp.int32)[None, :]   # [1,K]
+    err0 = (abs_da // 2)[:, None]
+    minor = (err0 + steps * abs_db[:, None]) // abs_da_safe[:, None]
+    # start_offset is a scalar (all beams share the sensor origin cell)
+    free_flat = (start_offset + steps * offset_a[:, None]
+                 + minor * offset_b[:, None])
+    free_mask = valid[:, None] & (steps < abs_da[:, None])
+    # invalid entries scatter to the dropped sentinel index
+    free_flat = jnp.where(free_mask, free_flat, num_cells)
+    occ_flat = jnp.where(valid, ey * w + ex, num_cells)
+
+    # commutative scatter-OR; sentinel (== num_cells) is dropped
+    free_set = (
+        jnp.zeros(num_cells, jnp.bool_)
+        .at[free_flat.reshape(-1)].set(True, mode="drop")
+        .reshape(h, w)
+    )
+    occ_set = (
+        jnp.zeros(num_cells, jnp.bool_)
+        .at[occ_flat].set(True, mode="drop")
+        .reshape(h, w)
+    )
+    return free_set, occ_set
+
+
+def update_level(
+    log_odds: jnp.ndarray,
+    pose_world: jnp.ndarray,
+    scan_points: jnp.ndarray,
+    scan_origo: jnp.ndarray,
+    scan_mask: jnp.ndarray,
+    offset,
+    scale,
+    max_ray_cells: int,
+    log_odds_free: float,
+    log_odds_occupied: float,
+) -> jnp.ndarray:
+    """Applies one scan's log-odds update to one level (see module doc for
+    the scatter-mask derivation from OccGridMapBase.h:216-241)."""
+    free_set, occ_set = rasterize_scan(
+        log_odds.shape, pose_world, scan_points, scan_origo, scan_mask,
+        offset, scale, max_ray_cells)
+    free_only = free_set & ~occ_set
+    occ_applied = occ_set & (log_odds < _OCC_CLAMP)
+    return (log_odds
+            + jnp.where(free_only, jnp.float32(log_odds_free), 0.0)
+            + jnp.where(occ_applied, jnp.float32(log_odds_occupied), 0.0))
+
+
+def update_pyramid(
+    log_odds_pyramid: Sequence[jnp.ndarray],
+    pose_world: jnp.ndarray,
+    scan: Scan,
+    cfg: SlamConfig,
+) -> Tuple[jnp.ndarray, ...]:
+    """MapRepMultiMap::updateByScan (MapRepMultiMap.h:134-147): every level
+    updated independently with its 2^-level-scaled scan."""
+    mcfg = cfg.map
+    out = []
+    for level, lo in enumerate(log_odds_pyramid):
+        factor = jnp.float32(1.0 / (2.0 ** level))
+        pts = scan.points * factor if level > 0 else scan.points
+        org = scan.origo * factor if level > 0 else scan.origo
+        out.append(update_level(
+            lo, pose_world, pts, org, scan.mask,
+            mcfg.top_left_offset, mcfg.level_scale(level),
+            cfg.level_max_ray_cells(level),
+            cfg.update.log_odds_free, cfg.update.log_odds_occupied,
+        ))
+    return tuple(out)

@@ -1,0 +1,130 @@
+"""SLAM orchestration: the functional match -> gate -> map-update step.
+
+Replaces HectorSlamProcessor (slam_main/HectorSlamProcessor.h:52-139) with
+a pure function ``slam_step: (SlamState, Scan) -> (SlamState, StepMetrics)``
+that jits to a single XLA program. There are no threads or mutexes
+(HectorMapMutex.h / MapProcContainer.h:103-116 have no TPU equivalent):
+state is immutable, snapshots are free.
+
+Replicated behaviors:
+  - map_without_matching accepts the pose hint verbatim and forces the map
+    update (HectorSlamProcessor.h:77-81,89)
+  - the map-update gate: integrate only if the pose moved more than the
+    distance OR angle threshold since the last accepted update
+    (HectorSlamProcessor.h:89-95, util/UtilFunctions.h:73-92)
+  - reset seeds last_map_update_pose with FLT_MAX so the first scan always
+    maps (HectorSlamProcessor.h:115-124)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..types import Scan, SlamState, StepMetrics
+from ..ops.solve3 import det3
+from .grid import init_log_odds_pyramid, pose_difference_larger_than
+from .mapping import update_pyramid
+from .matcher import match_pyramid
+
+
+def init_state(cfg: SlamConfig) -> SlamState:
+    """Fresh state == HectorSlamProcessor::reset (HectorSlamProcessor.h:115)."""
+    flt_max = jnp.float32(jnp.finfo(jnp.float32).max)
+    return SlamState(
+        log_odds=init_log_odds_pyramid(cfg.map),
+        pose=jnp.zeros(3, jnp.float32),
+        last_map_update_pose=jnp.full((3,), flt_max, jnp.float32),
+        covariance=jnp.zeros((3, 3), jnp.float32),
+        step=jnp.zeros((), jnp.int32),
+        map_update_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def slam_step(
+    state: SlamState,
+    scan: Scan,
+    cfg: SlamConfig,
+    pose_hint: Optional[jnp.ndarray] = None,
+    map_without_matching: bool = False,
+) -> Tuple[SlamState, StepMetrics]:
+    """One scan update (HectorSlamProcessor::update, :71-113).
+
+    ``pose_hint`` defaults to the last scan-match pose (the node's default
+    start estimate, HectorMappingRos.cpp:313-315). ``map_without_matching``
+    is static (it changes the traced program).
+    """
+    hint = state.pose if pose_hint is None else pose_hint
+
+    if map_without_matching:
+        new_pose = hint
+        hessian = state.covariance
+    else:
+        result = match_pyramid(state.log_odds, hint, scan, cfg)
+        new_pose = result.pose
+        hessian = result.hessian
+
+    do_update = pose_difference_larger_than(
+        new_pose, state.last_map_update_pose,
+        cfg.map_update_distance_thresh, cfg.map_update_angle_thresh)
+    if map_without_matching:
+        do_update = jnp.bool_(True)
+
+    def with_update(pyramid):
+        return update_pyramid(pyramid, new_pose, scan, cfg)
+
+    def without_update(pyramid):
+        return tuple(pyramid)
+
+    new_log_odds = jax.lax.cond(
+        do_update, with_update, without_update, state.log_odds)
+    new_last_update_pose = jnp.where(
+        do_update, new_pose, state.last_map_update_pose)
+
+    new_state = SlamState(
+        log_odds=new_log_odds,
+        pose=new_pose,
+        last_map_update_pose=new_last_update_pose,
+        covariance=hessian,
+        step=state.step + 1,
+        map_update_count=state.map_update_count + do_update.astype(jnp.int32),
+    )
+    metrics = StepMetrics(
+        pose_delta=new_pose - state.pose,
+        map_updated=do_update,
+        hessian_det=det3(hessian),
+        num_valid_beams=jnp.sum(scan.mask).astype(jnp.int32),
+    )
+    return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg", "map_without_matching"))
+def slam_step_jit(state: SlamState, scan: Scan, cfg: SlamConfig,
+                  pose_hint: Optional[jnp.ndarray] = None,
+                  map_without_matching: bool = False):
+    return slam_step(state, scan, cfg, pose_hint, map_without_matching)
+
+
+def run_log(state: SlamState, scans: Scan, cfg: SlamConfig):
+    """Sequential replay over a stacked scan log (leading time axis) inside
+    one jitted ``lax.scan`` — the whole-trajectory equivalent of the 40 Hz
+    loop, with zero per-scan host round-trips.
+
+    Returns (final state, poses f32[T,3], metrics stacked over T).
+    """
+
+    def body(st, sc):
+        st, metrics = slam_step(st, sc, cfg)
+        return st, (st.pose, metrics)
+
+    final_state, (poses, metrics) = jax.lax.scan(body, state, scans)
+    return final_state, poses, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_log_jit(state: SlamState, scans: Scan, cfg: SlamConfig):
+    return run_log(state, scans, cfg)

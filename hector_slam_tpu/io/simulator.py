@@ -1,0 +1,126 @@
+"""Synthetic 2D world + laser raycast simulator for test fixtures.
+
+The reference ships no bags, tests, or fixtures (SURVEY.md §4) — recorded
+data must be synthesized. This simulator raycasts a polygon world with a
+UTM-30LX-style laser model to produce scan logs with ground-truth poses,
+used by the integration tests and benchmarks (BASELINE.json configs 1-3).
+
+Pure NumPy (host-side fixture generation, not a TPU component).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .scanlog import LaserModel
+
+
+@dataclasses.dataclass
+class World:
+    """A set of line-segment walls: segments f32[S, 4] as (x0,y0,x1,y1)."""
+
+    segments: np.ndarray
+
+    @staticmethod
+    def corridor(length: float = 20.0, width: float = 3.0,
+                 with_clutter: bool = True) -> "World":
+        """A closed corridor with a few boxes for rotation observability."""
+        hw = width / 2.0
+        segs: List[Tuple[float, float, float, float]] = [
+            (-2.0, -hw, length, -hw),
+            (-2.0, hw, length, hw),
+            (-2.0, -hw, -2.0, hw),
+            (length, -hw, length, hw),
+        ]
+        if with_clutter:
+            for bx, by, s in [(3.0, -0.8, 0.4), (7.0, 0.7, 0.5),
+                              (11.0, -0.5, 0.3), (15.0, 0.6, 0.45)]:
+                segs += box(bx, by, s)
+        return World(np.asarray(segs, np.float64))
+
+    @staticmethod
+    def room(size: float = 12.0, with_clutter: bool = True) -> "World":
+        h = size / 2.0
+        segs = [(-h, -h, h, -h), (h, -h, h, h), (h, h, -h, h), (-h, h, -h, -h)]
+        if with_clutter:
+            segs += box(2.5, 1.5, 0.6) + box(-2.0, -2.5, 0.8) + \
+                box(-3.0, 2.0, 0.5) + box(3.5, -3.0, 0.7)
+        return World(np.asarray(segs, np.float64))
+
+
+def box(cx: float, cy: float, half: float):
+    return [
+        (cx - half, cy - half, cx + half, cy - half),
+        (cx + half, cy - half, cx + half, cy + half),
+        (cx + half, cy + half, cx - half, cy + half),
+        (cx - half, cy + half, cx - half, cy - half),
+    ]
+
+
+def raycast(world: World, pose: np.ndarray,
+            laser: LaserModel = LaserModel()) -> np.ndarray:
+    """Vectorized ray/segment intersection. Returns ranges f32[num_beams]
+    (range_max where nothing is hit)."""
+    px, py, theta = float(pose[0]), float(pose[1]), float(pose[2])
+    ang = laser.angles.astype(np.float64) + theta
+    dx = np.cos(ang)                       # [B]
+    dy = np.sin(ang)
+    s = world.segments                     # [S, 4]
+    x0, y0 = s[:, 0], s[:, 1]
+    ex_, ey_ = s[:, 2] - x0, s[:, 3] - y0   # segment direction [S]
+
+    # solve p + t*d = a + u*e for each (beam, segment)
+    # t = cross(a - p, e) / cross(d, e); u = cross(a - p, d) / cross(d, e)
+    apx = x0[None, :] - px                 # [1,S]
+    apy = y0[None, :] - py
+    denom = dx[:, None] * ey_[None, :] - dy[:, None] * ex_[None, :]  # [B,S]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (apx * ey_[None, :] - apy * ex_[None, :]) / denom
+        u = (apx * dy[:, None] - apy * dx[:, None]) / denom
+    hit = (np.abs(denom) > 1e-12) & (t > laser.range_min) & \
+        (u >= 0.0) & (u <= 1.0)
+    t = np.where(hit, t, np.inf)
+    ranges = t.min(axis=1)
+    return np.where(np.isfinite(ranges), ranges,
+                    laser.range_max).astype(np.float32)
+
+
+def simulate_trajectory(
+    world: World,
+    poses: np.ndarray,
+    laser: LaserModel = LaserModel(),
+    range_noise_std: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Raycast a sequence of poses -> ranges f32[T, num_beams]."""
+    rng = np.random.default_rng(seed)
+    out = np.empty((len(poses), laser.num_beams), np.float32)
+    for i, pose in enumerate(poses):
+        r = raycast(world, pose, laser)
+        if range_noise_std > 0.0:
+            r = r + rng.normal(0.0, range_noise_std,
+                               r.shape).astype(np.float32)
+        out[i] = r
+    return out
+
+
+def corridor_trajectory(num_steps: int = 60, advance: float = 0.25,
+                        weave: float = 0.06) -> np.ndarray:
+    """A gently weaving forward path through the corridor world."""
+    t = np.arange(num_steps)
+    x = t * advance
+    y = weave * np.sin(t * 0.3)
+    theta = weave * 1.2 * np.cos(t * 0.3)
+    return np.stack([x, y, theta], axis=-1).astype(np.float32)
+
+
+def room_trajectory(num_steps: int = 80, radius: float = 2.5) -> np.ndarray:
+    """A loop inside the room world (exercises all heading angles)."""
+    a = np.linspace(0.0, 2.0 * np.pi, num_steps, endpoint=False)
+    x = radius * np.cos(a)
+    y = radius * np.sin(a)
+    theta = a + np.pi / 2.0
+    return np.stack([x, y, theta], axis=-1).astype(np.float32)

@@ -1,0 +1,74 @@
+"""Grid transforms, angle normalization, pose gate vs oracle
+(GridMapBase.h:265-280, UtilFunctions.h:37-92)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hector_slam_tpu.config import MapConfig
+from hector_slam_tpu.core import grid
+from hector_slam_tpu.oracle import oracle_np as on
+
+
+def test_world_map_roundtrip_matches_oracle():
+    m = on.OracleMap(1024, 1024, 0.025, (12.8, 12.8))
+    cfg = MapConfig()
+    assert cfg.top_left_offset == (12.8, 12.8)
+    pts = np.random.default_rng(0).uniform(-12, 12, (50, 2)).astype(np.float32)
+    got = grid.world_to_map(jnp.asarray(pts), cfg.top_left_offset,
+                            cfg.level_scale(0))
+    want = np.stack([m.world_to_map(p) for p in pts])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    back = grid.map_to_world(got, cfg.top_left_offset, cfg.resolution)
+    np.testing.assert_allclose(np.asarray(back), pts, atol=1e-4)
+
+
+def test_level_geometry():
+    cfg = MapConfig(resolution=0.025, size_x=1024, size_y=1024, levels=3)
+    assert cfg.level_size(0) == (1024, 1024)
+    assert cfg.level_size(1) == (512, 512)
+    assert cfg.level_size(2) == (256, 256)
+    assert cfg.level_resolution(1) == 0.05
+    # all levels share the world offset (MapRepMultiMap.h:53-57) — a world
+    # point maps to half the map coords one level up
+    p = jnp.asarray([3.0, -2.0], jnp.float32)
+    m0 = grid.world_to_map(p, cfg.top_left_offset, cfg.level_scale(0))
+    m1 = grid.world_to_map(p, cfg.top_left_offset, cfg.level_scale(1))
+    np.testing.assert_allclose(np.asarray(m0) / 2.0, np.asarray(m1),
+                               rtol=1e-6)
+
+
+def test_normalize_angle_matches_oracle():
+    angles = np.array([0.0, 3.2, -3.2, 6.4, -6.4, 100.0, -100.0, np.pi,
+                       -np.pi, 2 * np.pi], np.float32)
+    got = grid.normalize_angle(jnp.asarray(angles))
+    want = np.array([on.normalize_angle(a) for a in angles], np.float32)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_pose_gate_matches_oracle():
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        p1 = rng.uniform(-5, 5, 3).astype(np.float32)
+        p2 = rng.uniform(-5, 5, 3).astype(np.float32)
+        got = bool(grid.pose_difference_larger_than(
+            jnp.asarray(p1), jnp.asarray(p2), 0.4, 0.9))
+        want = on.pose_difference_larger_than(p1, p2, 0.4, 0.9)
+        assert got == want, (p1, p2)
+
+
+def test_pose_gate_flt_max_always_fires():
+    """reset() sets last_map_update_pose = FLT_MAX so the first scan must
+    map (HectorSlamProcessor.h:115-124)."""
+    flt_max = np.float32(np.finfo(np.float32).max)
+    p2 = jnp.asarray([flt_max] * 3)
+    assert bool(grid.pose_difference_larger_than(
+        jnp.zeros(3, jnp.float32), p2, 0.4, 0.9))
+
+
+def test_log_odds_to_prob():
+    vals = jnp.asarray([-50.0, -1.0, 0.0, 1.0, 50.0], jnp.float32)
+    got = np.asarray(grid.log_odds_to_prob(vals))
+    want = np.exp(vals) / (np.exp(vals) + 1.0)
+    np.testing.assert_allclose(got, np.asarray(want, np.float32), atol=1e-7)
+    assert got[2] == 0.5
+    assert np.isfinite(got).all()

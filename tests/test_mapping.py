@@ -1,0 +1,161 @@
+"""Map update: closed-form Bresenham + scatter vs the oracle's exact serial
+transcription (OccGridMapBase.h:121-260). These must agree cell-for-cell
+and (given identical poses) bit-for-bit in log-odds: the update arithmetic
+is order-free masked adds."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hector_slam_tpu.config import MapConfig, SlamConfig, UpdateConfig
+from hector_slam_tpu.core.mapping import rasterize_scan, update_level, update_pyramid
+from hector_slam_tpu.oracle import oracle_np as on
+from hector_slam_tpu.types import Scan
+
+
+def _mk_scan(points, origo, n_pad=64):
+    pts = np.zeros((n_pad, 2), np.float32)
+    pts[: len(points)] = points
+    mask = np.zeros(n_pad, bool)
+    mask[: len(points)] = True
+    return (jnp.asarray(pts), jnp.asarray(np.asarray(origo, np.float32)),
+            jnp.asarray(mask))
+
+
+def _oracle_map(size=64, res=0.1):
+    off = (res * size * 0.5, res * size * 0.5)
+    return on.OracleMap(size, size, res, off), off
+
+
+def test_single_beam_cells_match_oracle():
+    """Compare the rasterized free/occ sets against the oracle's update for
+    assorted beam geometries incl. steep/shallow/diagonal/negative dirs."""
+    for end in [(5.3, 0.2), (0.3, 7.8), (6.0, 6.0), (-4.2, -1.1),
+                (-0.4, 5.9), (2.5, -6.5), (1.0, 0.0), (0.0, 1.0),
+                (7.9, 3.3), (-7.7, 2.9)]:
+        m, off = _oracle_map()
+        pose = np.array([0.1, -0.2, 0.35], np.float32)
+        pts = np.array([end], np.float32) / 0.1  # map-scale units
+        on.update_by_scan(m, pts, np.zeros(2, np.float32), pose)
+
+        p, o, mask = _mk_scan(pts, (0.0, 0.0))
+        free_set, occ_set = rasterize_scan(
+            (64, 64), jnp.asarray(pose), p, o, mask, off, 10.0, 256)
+        lo_f = np.float32(m.log_odds_free)
+        lo_o = np.float32(m.log_odds_occupied)
+        want_free = np.isclose(m.log_odds, lo_f)
+        want_occ = np.isclose(m.log_odds, lo_o)
+        np.testing.assert_array_equal(np.asarray(free_set) & ~np.asarray(occ_set),
+                                      want_free, err_msg=str(end))
+        np.testing.assert_array_equal(np.asarray(occ_set), want_occ,
+                                      err_msg=str(end))
+
+
+def test_full_scan_update_bitexact_vs_oracle():
+    rng = np.random.default_rng(3)
+    m, off = _oracle_map()
+    pose = np.array([0.4, 0.3, 1.1], np.float32)
+    angles = rng.uniform(-np.pi, np.pi, 120)
+    ranges = rng.uniform(0.5, 5.5, 120)
+    pts = (np.stack([np.cos(angles) * ranges, np.sin(angles) * ranges],
+                    axis=-1) / 0.1).astype(np.float32)
+    origo = np.array([0.05, -0.03], np.float32) / 0.1
+    on.update_by_scan(m, pts, origo, pose)
+
+    p, o, mask = _mk_scan(pts, origo, n_pad=128)
+    got = update_level(jnp.zeros((64, 64), jnp.float32), jnp.asarray(pose),
+                       p, o, mask, off, 10.0, 256,
+                       float(m.log_odds_free), float(m.log_odds_occupied))
+    np.testing.assert_array_equal(np.asarray(got), m.log_odds)
+
+
+def test_occupied_overrides_free_and_dedup():
+    """Two beams: one passes through cell C (free), other ends at C (occ).
+    C must get exactly the occupied delta; shared free cells counted once
+    (OccGridMapBase.h:216-241)."""
+    m, off = _oracle_map(size=32)
+    pose = np.zeros(3, np.float32)
+    # beam 1 passes through (20,16) to (24,16); beam 2 ends at (20,16)
+    # map coords: origin maps to (16,16)
+    pts = np.array([[8.0, 0.0], [4.0, 0.0]], np.float32)
+    on.update_by_scan(m, pts, np.zeros(2, np.float32), pose)
+    assert np.isclose(m.log_odds[16, 20], m.log_odds_occupied)
+
+    p, o, mask = _mk_scan(pts, (0.0, 0.0))
+    got = update_level(jnp.zeros((32, 32), jnp.float32), jnp.asarray(pose),
+                       p, o, mask, off, 10.0, 256,
+                       float(m.log_odds_free), float(m.log_odds_occupied))
+    np.testing.assert_array_equal(np.asarray(got), m.log_odds)
+
+
+def test_occ_clamp_at_50():
+    """Cells at logOdds >= 50 receive no occupied delta
+    (GridMapLogOdds.h:135-140) but free still applies."""
+    m, off = _oracle_map(size=32)
+    m.log_odds[16, 20] = 55.0
+    lo0 = jnp.asarray(m.log_odds.copy())
+    pose = np.zeros(3, np.float32)
+    pts = np.array([[4.0, 0.0]], np.float32)  # ends at (20,16)
+    on.update_by_scan(m, pts, np.zeros(2, np.float32), pose)
+    assert m.log_odds[16, 20] == 55.0
+
+    p, o, mask = _mk_scan(pts, (0.0, 0.0))
+    got = update_level(lo0, jnp.asarray(pose), p, o, mask, off, 10.0, 256,
+                       float(m.log_odds_free), float(m.log_odds_occupied))
+    np.testing.assert_array_equal(np.asarray(got), m.log_odds)
+
+
+def test_out_of_bounds_beams_skipped():
+    """A beam whose endpoint leaves the map is skipped entirely — no free
+    marking along the way (OccGridMapBase.h:186)."""
+    m, off = _oracle_map(size=32)
+    pose = np.zeros(3, np.float32)
+    pts = np.array([[100.0, 0.0]], np.float32)  # way outside
+    on.update_by_scan(m, pts, np.zeros(2, np.float32), pose)
+    assert (m.log_odds == 0.0).all()
+
+    p, o, mask = _mk_scan(pts, (0.0, 0.0))
+    got = update_level(jnp.zeros((32, 32), jnp.float32), jnp.asarray(pose),
+                       p, o, mask, off, 10.0, 256,
+                       float(m.log_odds_free), float(m.log_odds_occupied))
+    assert (np.asarray(got) == 0.0).all()
+
+
+def test_same_cell_beam_skipped():
+    """start==end cell -> no update at all (OccGridMapBase.h:158)."""
+    m, off = _oracle_map(size=32)
+    pts = np.array([[0.2, 0.1]], np.float32)
+    on.update_by_scan(m, pts, np.zeros(2, np.float32), np.zeros(3, np.float32))
+    assert (m.log_odds == 0.0).all()
+    p, o, mask = _mk_scan(pts, (0.0, 0.0))
+    got = update_level(jnp.zeros((32, 32), jnp.float32), jnp.zeros(3, jnp.float32),
+                       p, o, mask, off, 10.0, 256,
+                       float(m.log_odds_free), float(m.log_odds_occupied))
+    assert (np.asarray(got) == 0.0).all()
+
+
+def test_pyramid_update_levels_independent():
+    """Each level integrates its own scaled scan (MapRepMultiMap.h:134-147).
+    Validate all 3 levels against per-level oracles."""
+    cfg = SlamConfig(map=MapConfig(resolution=0.1, size_x=64, size_y=64,
+                                   levels=3),
+                     update=UpdateConfig(),
+                     max_ray_cells=128)
+    mm = on.OracleMultiMap(0.1, 64, 64, 3, free_factor=0.4,
+                           occupied_factor=0.9)
+    rng = np.random.default_rng(9)
+    angles = rng.uniform(-np.pi, np.pi, 60)
+    ranges = rng.uniform(0.5, 2.8, 60)
+    pts = (np.stack([np.cos(angles) * ranges, np.sin(angles) * ranges],
+                    axis=-1) / 0.1).astype(np.float32)
+    pose = np.array([0.2, -0.1, 0.4], np.float32)
+    mm.update_by_scan(pts, np.zeros(2, np.float32), pose)
+
+    p, o, mask = _mk_scan(pts, (0.0, 0.0), n_pad=64)
+    scan = Scan(points=p, origo=o, mask=mask)
+    pyramid = tuple(jnp.zeros((64 >> i, 64 >> i), jnp.float32)
+                    for i in range(3))
+    got = update_pyramid(pyramid, jnp.asarray(pose), scan, cfg)
+    for lvl in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(got[lvl]), mm.maps[lvl].log_odds,
+            err_msg=f"level {lvl}")

@@ -1,0 +1,136 @@
+"""Integration: full scan->match->gate->update loop on a synthetic world,
+JAX engine vs the oracle processor (BASELINE.json config 3 analog, shrunk
+for test runtime). Also exercises run_log's lax.scan replay."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hector_slam_tpu.config import MapConfig, SlamConfig
+from hector_slam_tpu.core.slam import init_state, run_log_jit, slam_step_jit
+from hector_slam_tpu.io.scanlog import LaserModel, scan_from_ranges, stack_scans
+from hector_slam_tpu.io.simulator import World, corridor_trajectory, simulate_trajectory
+from hector_slam_tpu.oracle import oracle_np as on
+
+# small fast config: 256^2 @ 0.05 m, 2 levels, 271-beam laser
+LASER = LaserModel(num_beams=271, angle_min=-2.356194490192345,
+                   angle_increment=4 * 0.004363323129985824,
+                   range_min=0.1, range_max=12.0)
+CFG = SlamConfig(
+    map=MapConfig(resolution=0.05, size_x=256, size_y=256, levels=2),
+    max_beams=384, max_ray_cells=256,
+    map_update_distance_thresh=0.4, map_update_angle_thresh=0.9)
+
+
+def _make_log(num_steps=24):
+    # per-scan motion must stay inside the GN convergence basin (the real
+    # sensor runs at 40 Hz -> cm-scale inter-scan motion); 6 cm/scan here
+    world = World.corridor(length=10.0, width=3.0)
+    poses = corridor_trajectory(num_steps, advance=0.06, weave=0.04)
+    ranges = simulate_trajectory(world, poses, LASER)
+    return poses, ranges
+
+
+@pytest.fixture(scope="module")
+def log():
+    return _make_log()
+
+
+def _oracle_run(ranges):
+    proc = on.OracleProcessor(resolution=0.05, size_x=256, size_y=256,
+                              levels=2, update_distance_thresh=0.4,
+                              update_angle_thresh=0.9)
+    scale = 1.0 / 0.05
+    poses = []
+    updates = []
+    for r in ranges:
+        sc = scan_from_ranges(r, scale, LASER, CFG.max_beams)
+        pts = np.asarray(sc.points)[np.asarray(sc.mask)]
+        before = proc.last_map_update_pose.copy()
+        pose = proc.update(pts, np.zeros(2, np.float32),
+                           proc.last_scan_match_pose)
+        poses.append(pose.copy())
+        updates.append(not np.array_equal(before, proc.last_map_update_pose))
+    return proc, np.asarray(poses), updates
+
+
+def _jax_run_stepwise(ranges):
+    state = init_state(CFG)
+    scale = 1.0 / 0.05
+    poses = []
+    updates = []
+    for r in ranges:
+        sc = scan_from_ranges(r, scale, LASER, CFG.max_beams)
+        state, metrics = slam_step_jit(state, sc, CFG)
+        poses.append(np.asarray(state.pose))
+        updates.append(bool(metrics.map_updated))
+    return state, np.asarray(poses), updates
+
+
+def test_slam_loop_matches_oracle(log):
+    poses_true, ranges = log
+    proc, oracle_poses, oracle_updates = _oracle_run(ranges)
+    state, jax_poses, jax_updates = _jax_run_stepwise(ranges)
+
+    # same gate decisions
+    assert oracle_updates == jax_updates
+    # pose trajectories agree within f32 accumulation tolerance
+    np.testing.assert_allclose(jax_poses[:, :2], oracle_poses[:, :2],
+                               atol=5e-3)
+    np.testing.assert_allclose(jax_poses[:, 2], oracle_poses[:, 2],
+                               atol=5e-3)
+    # and both track ground truth reasonably (sanity, not bit parity)
+    err = np.linalg.norm(jax_poses[:, :2] - poses_true[:, :2], axis=1)
+    assert err.max() < 0.1, err
+
+    # final maps nearly identical: same cells touched, same deltas modulo
+    # pose differences; demand exact match of occupancy classification on
+    # >99% of cells
+    for lvl in range(2):
+        got = np.asarray(state.log_odds[lvl])
+        want = proc.map_rep.maps[lvl].log_odds
+        agree = np.mean(np.sign(got) == np.sign(want))
+        assert agree > 0.99, f"level {lvl}: {agree}"
+
+
+def test_run_log_scan_matches_stepwise(log):
+    """The lax.scan whole-log replay must equal the per-step driver."""
+    _, ranges = log
+    scale = 1.0 / 0.05
+    scans = stack_scans([scan_from_ranges(r, scale, LASER, CFG.max_beams)
+                         for r in ranges])
+    state0 = init_state(CFG)
+    final_state, poses, metrics = run_log_jit(state0, scans, CFG)
+
+    _, step_poses, step_updates = _jax_run_stepwise(ranges)
+    np.testing.assert_allclose(np.asarray(poses), step_poses, atol=1e-5)
+    assert [bool(u) for u in np.asarray(metrics.map_updated)] == step_updates
+
+
+def test_map_without_matching_accepts_hint(log):
+    """known-poses mode: hint accepted verbatim, update forced
+    (HectorSlamProcessor.h:77-81)."""
+    poses_true, ranges = log
+    state = init_state(CFG)
+    scale = 1.0 / 0.05
+    for r, p in zip(ranges[:4], poses_true[:4]):
+        sc = scan_from_ranges(r, scale, LASER, CFG.max_beams)
+        state, metrics = slam_step_jit(
+            state, sc, CFG, pose_hint=jnp.asarray(p),
+            map_without_matching=True)
+        np.testing.assert_array_equal(np.asarray(state.pose), p)
+        assert bool(metrics.map_updated)
+    assert int(state.map_update_count) == 4
+
+
+def test_reset_equals_fresh_state(log):
+    _, ranges = log
+    state = init_state(CFG)
+    sc = scan_from_ranges(ranges[0], 1.0 / 0.05, LASER, CFG.max_beams)
+    state, _ = slam_step_jit(state, sc, CFG)
+    assert int(state.step) == 1
+    fresh = init_state(CFG)
+    assert float(jnp.abs(fresh.log_odds[0]).max()) == 0.0
+    assert float(fresh.last_map_update_pose[0]) == float(
+        np.finfo(np.float32).max)
