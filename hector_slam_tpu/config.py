@@ -62,8 +62,12 @@ class MapConfig:
         )
 
     def level_scale(self, level: int) -> float:
-        """world->map scale for a level (1 / cellLength)."""
-        return 1.0 / self.level_resolution(level)
+        """world->map scale for a level: the f32 division 1.0f/cellLength
+        (GridMapBase.h:270) — NOT the f64 reciprocal, which can differ by
+        an ulp (e.g. 1/0.025f)."""
+        import numpy as np
+        res32 = np.float32(self.level_resolution(level))
+        return float(np.float32(1.0) / res32)
 
 
 @dataclasses.dataclass(frozen=True)

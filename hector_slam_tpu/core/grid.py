@@ -16,16 +16,28 @@ from ..config import MapConfig
 
 
 def world_to_map(xy: jnp.ndarray, offset, scale) -> jnp.ndarray:
-    """mapTworld = Scaling(1/cell) * Translation(offset): map = (w + o) * s
-    (GridMapBase.h:272)."""
+    """mapTworld = Scaling(1/cell) * Translation(offset) (GridMapBase.h:272).
+
+    Composed the way Eigen composes it: the affine's translation is the
+    pre-scaled offset, so map = s*w + (s*o) — NOT (w+o)*s, which rounds
+    differently in f32 and can flip a Bresenham cell at a .5 boundary.
+    """
     off = jnp.asarray(offset, jnp.float32)
-    return (xy + off) * jnp.float32(scale)
+    s = jnp.float32(scale)
+    return xy * s + off * s
 
 
 def map_to_world(xy: jnp.ndarray, offset, cell_length) -> jnp.ndarray:
-    """worldTmap = mapTworld^-1: world = m * cell - o (GridMapBase.h:279)."""
+    """worldTmap = mapTworld.inverse() (GridMapBase.h:279), reproducing
+    Eigen's numeric 2x2 affine inversion: invdet = 1/(s*s),
+    linear_inv = s*invdet (which is NOT exactly cellLength in f32), and
+    translation_inv = -linear_inv * (s*o)."""
     off = jnp.asarray(offset, jnp.float32)
-    return xy * jnp.float32(cell_length) - off
+    s = jnp.float32(1.0) / jnp.float32(cell_length)   # scaleToMap
+    inv_det = jnp.float32(1.0) / (s * s)
+    inv_s = s * inv_det
+    t = off * s
+    return xy * inv_s - inv_s * t
 
 
 def world_to_map_pose(pose: jnp.ndarray, offset, scale) -> jnp.ndarray:

@@ -92,18 +92,25 @@ class OracleMap:
         self.map_limits = (F32(self.size_x - 2.0), F32(self.size_y - 2.0))
 
     # ---- transforms (GridMapBase.h:265-280) --------------------------------
-    # mapTworld = Scaling(1/cell) * Translation(topLeftOffset)
-    # => map = (world + offset) * scale ; world = map * cell - offset
+    # mapTworld = Scaling(1/cell) * Translation(topLeftOffset), composed
+    # and inverted numerically the way Eigen does it:
+    #   map   = s*w + (s*off)
+    #   world = inv_s*m - inv_s*(s*off),  inv_s = s * (1/(s*s))
 
     def world_to_map(self, xy) -> np.ndarray:
         xy = np.asarray(xy, np.float32)
         off = np.asarray(self.top_left_offset, np.float32)
-        return ((xy + off) * self.scale_to_map).astype(np.float32)
+        s = self.scale_to_map
+        return (xy * s + off * s).astype(np.float32)
 
     def map_to_world(self, xy) -> np.ndarray:
         xy = np.asarray(xy, np.float32)
         off = np.asarray(self.top_left_offset, np.float32)
-        return (xy * F32(self.cell_length) - off).astype(np.float32)
+        s = self.scale_to_map
+        inv_det = F32(1.0) / (s * s)
+        inv_s = s * inv_det
+        t = off * s
+        return (xy * inv_s - inv_s * t).astype(np.float32)
 
     def world_to_map_pose(self, pose) -> np.ndarray:
         m = self.world_to_map(pose[:2])
