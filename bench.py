@@ -1,0 +1,76 @@
+"""Benchmark: batched scan-matches/s/chip (BASELINE.json config 4 shape).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The workload: 4096 perturbed start poses per scan, each running the full
+3-level coarse-to-fine Gauss-Newton pyramid (6+4+4 = 14 GN iterations,
+1081-beam scans padded to 1152) against a 1024^2 @ 0.05 m map built from
+simulated UTM-30LX data. ``vs_baseline`` is the ratio to the reference's
+only published capability: sequential matching at the sensor's 40 Hz scan
+rate (hector_mapping/package.xml:7 — one scan-match per scan, 40/s).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from hector_slam_tpu.config import BENCH_CONFIG
+    from hector_slam_tpu.core.slam import init_state, slam_step_jit
+    from hector_slam_tpu.io.scanlog import LaserModel, scan_from_ranges
+    from hector_slam_tpu.io.simulator import (World, corridor_trajectory,
+                                              simulate_trajectory)
+    from hector_slam_tpu.parallel.batch import match_hypotheses_jit
+
+    cfg = BENCH_CONFIG
+    laser = LaserModel()  # 1081-beam UTM-30LX
+    world = World.corridor(length=18.0, width=3.0)
+    poses_true = corridor_trajectory(10, advance=0.12, weave=0.03)
+    ranges = simulate_trajectory(world, poses_true, laser,
+                                 range_noise_std=0.005)
+    scale = cfg.map.level_scale(0)
+    scans = [scan_from_ranges(r, scale, laser, cfg.max_beams)
+             for r in ranges]
+
+    # build the map with known poses (map_without_matching mode)
+    state = init_state(cfg)
+    for sc, p in zip(scans, poses_true):
+        state, _ = slam_step_jit(state, sc, cfg, pose_hint=jnp.asarray(p),
+                                 map_without_matching=True)
+
+    B = 4096
+    rng = np.random.default_rng(0)
+    hyps = jnp.asarray(
+        poses_true[-1] + rng.normal(0, 0.05, (B, 3)), jnp.float32)
+    scan = scans[-1]
+
+    # compile + warm up
+    result = match_hypotheses_jit(state.log_odds, hyps, scan, cfg)
+    jax.block_until_ready(result.pose)
+
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        result = match_hypotheses_jit(state.log_odds, hyps, scan, cfg)
+    jax.block_until_ready(result.pose)
+    dt = time.perf_counter() - t0
+
+    matches_per_s = B * reps / dt
+    baseline_rate = 40.0  # reference: 40 Hz sequential (package.xml:7)
+    print(json.dumps({
+        "metric": "batched_scan_matches_per_sec_per_chip",
+        "value": round(matches_per_s, 1),
+        "unit": "matches/s (1081-beam, 3-level pyramid, 1024^2 @ 0.05 m)",
+        "vs_baseline": round(matches_per_s / baseline_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,11 +23,12 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from .grid import log_odds_to_prob
 
-_F1 = jnp.float32(1.0)
+_F1 = np.float32(1.0)
 
 
 def interp_with_derivatives(

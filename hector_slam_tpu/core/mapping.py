@@ -30,13 +30,15 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import SlamConfig
 from ..types import Scan
 from .grid import world_to_map_pose
 
-_OCC_CLAMP = jnp.float32(50.0)
+_OCC_CLAMP = np.float32(50.0)
 
 
 def _sign_ref(x: jnp.ndarray) -> jnp.ndarray:
@@ -139,12 +141,24 @@ def update_level(
     max_ray_cells: int,
     log_odds_free: float,
     log_odds_occupied: float,
+    beam_axis: str | None = None,
 ) -> jnp.ndarray:
     """Applies one scan's log-odds update to one level (see module doc for
-    the scatter-mask derivation from OccGridMapBase.h:216-241)."""
+    the scatter-mask derivation from OccGridMapBase.h:216-241).
+
+    ``beam_axis``: when the beam dimension is sharded (inside shard_map),
+    each device rasterizes its local beams and the boolean cell sets are
+    OR-combined with a psum over ICI — the masks commute, so this is
+    exact.
+    """
     free_set, occ_set = rasterize_scan(
         log_odds.shape, pose_world, scan_points, scan_origo, scan_mask,
         offset, scale, max_ray_cells)
+    if beam_axis is not None:
+        free_set = jax.lax.psum(
+            free_set.astype(jnp.int32), beam_axis) > 0
+        occ_set = jax.lax.psum(
+            occ_set.astype(jnp.int32), beam_axis) > 0
     free_only = free_set & ~occ_set
     occ_applied = occ_set & (log_odds < _OCC_CLAMP)
     return (log_odds
@@ -157,6 +171,7 @@ def update_pyramid(
     pose_world: jnp.ndarray,
     scan: Scan,
     cfg: SlamConfig,
+    beam_axis: str | None = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """MapRepMultiMap::updateByScan (MapRepMultiMap.h:134-147): every level
     updated independently with its 2^-level-scaled scan."""
@@ -171,5 +186,6 @@ def update_pyramid(
             mcfg.top_left_offset, mcfg.level_scale(level),
             cfg.level_max_ray_cells(level),
             cfg.update.log_odds_free, cfg.update.log_odds_occupied,
+            beam_axis,
         ))
     return tuple(out)

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import SlamConfig
@@ -32,7 +34,7 @@ from ..ops.solve3 import solve3
 from .grid import (map_to_world_pose, normalize_angle, world_to_map_pose)
 from .interp import hessian_derivs
 
-_CLAMP = jnp.float32(0.2)
+_CLAMP = np.float32(0.2)
 
 
 def gn_step(
@@ -40,9 +42,20 @@ def gn_step(
     estimate_map: jnp.ndarray,
     points: jnp.ndarray,
     mask: jnp.ndarray,
+    beam_axis: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One estimateTransformationLogLh step (ScanMatcher.h:194-226)."""
+    """One estimateTransformationLogLh step (ScanMatcher.h:194-226).
+
+    ``beam_axis``: mesh axis name when the beam dimension is sharded
+    (inside shard_map) — the partial JtJ/JtR blocks are psum-reduced over
+    ICI before the solve, so every replica takes the identical GN step.
+    This is the TPU-native replacement for the reference's serial scan
+    loop (SURVEY.md §2.4).
+    """
     hess, dtr = hessian_derivs(log_odds, estimate_map, points, mask)
+    if beam_axis is not None:
+        hess = jax.lax.psum(hess, beam_axis)
+        dtr = jax.lax.psum(dtr, beam_axis)
     guard = (hess[0, 0] != 0.0) & (hess[1, 1] != 0.0)
     # keep the solve NaN-free when the guard fails (both branches of a
     # `where` are computed): substitute identity, result is discarded
@@ -63,6 +76,7 @@ def match_level(
     offset,
     scale,
     cell_length,
+    beam_axis: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ScanMatcher::matchData on one pyramid level. ``iterations`` is the
     reference's maxIterations; iterations+1 GN steps run (ScanMatcher.h:74,94).
@@ -70,11 +84,13 @@ def match_level(
     estimate = world_to_map_pose(begin_estimate_world, offset, scale)
     hess = jnp.zeros((3, 3), jnp.float32)
     for _ in range(iterations + 1):  # static unroll: 6 or 4 steps
-        estimate, hess = gn_step(log_odds, estimate, points, mask)
+        estimate, hess = gn_step(log_odds, estimate, points, mask, beam_axis)
     estimate = estimate.at[2].set(normalize_angle(estimate[2]))
     world = map_to_world_pose(estimate, offset, cell_length)
     # empty scan: return the input pose verbatim (ScanMatcher.h:68,189)
     any_valid = jnp.any(mask)
+    if beam_axis is not None:
+        any_valid = jax.lax.psum(any_valid.astype(jnp.int32), beam_axis) > 0
     world = jnp.where(any_valid, world, begin_estimate_world)
     hess = jnp.where(any_valid, hess, jnp.zeros((3, 3), jnp.float32))
     return world, hess
@@ -85,6 +101,7 @@ def match_pyramid(
     begin_estimate_world: jnp.ndarray,
     scan: Scan,
     cfg: SlamConfig,
+    beam_axis: str | None = None,
 ) -> MatchResult:
     """MapRepMultiMap::matchData (MapRepMultiMap.h:116-132): coarse->fine,
     scan pre-scaled per level by 2^-level, pose chained in world coords.
@@ -101,6 +118,6 @@ def match_pyramid(
         pose, hess = match_level(
             log_odds_pyramid[level], pose, pts, scan.mask, iters,
             mcfg.top_left_offset, mcfg.level_scale(level),
-            mcfg.level_resolution(level),
+            mcfg.level_resolution(level), beam_axis,
         )
     return MatchResult(pose=pose, hessian=hess)

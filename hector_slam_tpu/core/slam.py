@@ -51,12 +51,16 @@ def slam_step(
     cfg: SlamConfig,
     pose_hint: Optional[jnp.ndarray] = None,
     map_without_matching: bool = False,
+    beam_axis: Optional[str] = None,
 ) -> Tuple[SlamState, StepMetrics]:
     """One scan update (HectorSlamProcessor::update, :71-113).
 
     ``pose_hint`` defaults to the last scan-match pose (the node's default
     start estimate, HectorMappingRos.cpp:313-315). ``map_without_matching``
-    is static (it changes the traced program).
+    is static (it changes the traced program). ``beam_axis`` is the mesh
+    axis name when the scan's beam dimension is sharded across devices
+    (shard_map): normal equations and rasterized cell sets are then
+    psum-combined over ICI.
     """
     hint = state.pose if pose_hint is None else pose_hint
 
@@ -64,7 +68,7 @@ def slam_step(
         new_pose = hint
         hessian = state.covariance
     else:
-        result = match_pyramid(state.log_odds, hint, scan, cfg)
+        result = match_pyramid(state.log_odds, hint, scan, cfg, beam_axis)
         new_pose = result.pose
         hessian = result.hessian
 
@@ -75,13 +79,22 @@ def slam_step(
         do_update = jnp.bool_(True)
 
     def with_update(pyramid):
-        return update_pyramid(pyramid, new_pose, scan, cfg)
+        return update_pyramid(pyramid, new_pose, scan, cfg, beam_axis)
 
     def without_update(pyramid):
         return tuple(pyramid)
 
-    new_log_odds = jax.lax.cond(
-        do_update, with_update, without_update, state.log_odds)
+    if beam_axis is None:
+        new_log_odds = jax.lax.cond(
+            do_update, with_update, without_update, state.log_odds)
+    else:
+        # inside shard_map a cond with collectives must run on all
+        # replicas; the gate bit is identical everywhere (it derives from
+        # the psum'd match), so select after an unconditional update
+        updated = with_update(state.log_odds)
+        new_log_odds = tuple(
+            jnp.where(do_update, u, o)
+            for u, o in zip(updated, state.log_odds))
     new_last_update_pose = jnp.where(
         do_update, new_pose, state.last_map_update_pose)
 
@@ -102,10 +115,13 @@ def slam_step(
     return new_state, metrics
 
 
-@partial(jax.jit, static_argnames=("cfg", "map_without_matching"))
+@partial(jax.jit, static_argnames=("cfg", "map_without_matching"),
+         donate_argnums=(0,))
 def slam_step_jit(state: SlamState, scan: Scan, cfg: SlamConfig,
                   pose_hint: Optional[jnp.ndarray] = None,
                   map_without_matching: bool = False):
+    """Jitted per-scan step. The input state is donated: the log-odds
+    pyramid is updated in place on-device (no HBM copy per scan)."""
     return slam_step(state, scan, cfg, pose_hint, map_without_matching)
 
 

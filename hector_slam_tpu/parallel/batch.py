@@ -1,0 +1,105 @@
+"""Batched execution: multi-hypothesis matching and multi-robot fleets via
+vmap (single device) — the TPU-native replacement for capabilities the
+reference simply doesn't have (it is single-robot, scan-serial; SURVEY.md
+§2.4). Device-sharded variants live in parallel/sharded.py.
+
+Batch axes (BASELINE.json configs 4-5):
+  - hypothesis axis H: many perturbed start poses matched against ONE
+    shared map pyramid per scan; all land on the MXU as [H,3,N]@[H,N,3]
+    batched matmuls.
+  - robot axis R: independent trajectories, each with its own map pyramid
+    (leading axis on every pytree leaf).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..types import MatchResult, Scan, SlamState
+from ..core.interp import interp_with_derivatives
+from ..core.grid import world_to_map
+from ..core.matcher import match_pyramid
+from ..core.slam import slam_step
+
+
+def match_hypotheses(
+    log_odds_pyramid,
+    begin_poses: jnp.ndarray,   # f32[H, 3] world poses
+    scan: Scan,
+    cfg: SlamConfig,
+) -> MatchResult:
+    """Matches H hypothesis poses against one shared map (vmap over the
+    pose axis; map and scan are broadcast). Returns stacked MatchResult
+    with leading axis H."""
+    fn = jax.vmap(lambda p: match_pyramid(log_odds_pyramid, p, scan, cfg))
+    return fn(begin_poses)
+
+
+match_hypotheses_jit = jax.jit(match_hypotheses,
+                               static_argnames=("cfg",))
+
+
+def residual_for_poses(
+    log_odds: jnp.ndarray,
+    poses_world: jnp.ndarray,   # f32[H, 3]
+    scan: Scan,
+    cfg: SlamConfig,
+) -> jnp.ndarray:
+    """Map-match residual sum(1 - M) per pose on the finest level — the
+    reference's getResidualForState (OccGridMapUtil.h:204-221), batched.
+    Used to score hypotheses."""
+    offset = cfg.map.top_left_offset
+    scale = cfg.map.level_scale(0)
+
+    def one(pose):
+        pm = jnp.concatenate([world_to_map(pose[:2], offset, scale),
+                              pose[2:]], axis=-1)
+        s, c = jnp.sin(pm[2]), jnp.cos(pm[2])
+        tx = c * scan.points[:, 0] - s * scan.points[:, 1] + pm[0]
+        ty = s * scan.points[:, 0] + c * scan.points[:, 1] + pm[1]
+        m, _, _ = interp_with_derivatives(
+            log_odds, jnp.stack([tx, ty], axis=-1))
+        return jnp.sum(jnp.where(scan.mask, 1.0 - m, 0.0))
+
+    return jax.vmap(one)(poses_world)
+
+
+def best_hypothesis(
+    log_odds_pyramid,
+    begin_poses: jnp.ndarray,
+    scan: Scan,
+    cfg: SlamConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Match all hypotheses, score by finest-level residual, return
+    (best_pose f32[3], best_hessian f32[3,3], residuals f32[H])."""
+    result = match_hypotheses(log_odds_pyramid, begin_poses, scan, cfg)
+    res = residual_for_poses(log_odds_pyramid[0], result.pose, scan, cfg)
+    i = jnp.argmin(res)
+    return result.pose[i], result.hessian[i], res
+
+
+def fleet_step(
+    states: SlamState,          # leading robot axis R on every leaf
+    scans: Scan,                # [R, N, 2] / [R, 2] / [R, N]
+    cfg: SlamConfig,
+):
+    """One SLAM step for R independent robots (vmap over the whole step:
+    per-robot maps, poses, gates)."""
+    return jax.vmap(lambda st, sc: slam_step(st, sc, cfg))(states, scans)
+
+
+fleet_step_jit = jax.jit(fleet_step, static_argnames=("cfg",),
+                         donate_argnums=(0,))
+
+
+def init_fleet(cfg: SlamConfig, num_robots: int) -> SlamState:
+    """Fresh per-robot states stacked on a leading axis."""
+    from ..core.slam import init_state
+    one = init_state(cfg)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (num_robots,) + x.shape), one)
