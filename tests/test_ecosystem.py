@@ -1,0 +1,274 @@
+"""Ecosystem parity tests: occupancy export, images, geotiff, trajectory,
+raycast queries, pose output, debug diagnostics, checkpoint, attitude."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hector_slam_tpu.config import MapConfig, SlamConfig
+from hector_slam_tpu.core.debug import match_pyramid_debug_jit
+from hector_slam_tpu.core.slam import init_state, slam_step_jit
+from hector_slam_tpu.export.geotiff import GeotiffExporter, write_geotiff
+from hector_slam_tpu.export.images import (map_tile_image, map_to_image,
+                                           read_png_size, write_png)
+from hector_slam_tpu.export.occupancy import (GridMeta, grid_meta,
+                                              map_extends,
+                                              to_occupancy_grid,
+                                              to_occupancy_grid_jax)
+from hector_slam_tpu.export.pose_output import (covariance_6x6,
+                                                covariance_world_coords,
+                                                pose_stamped,
+                                                quaternion_to_yaw,
+                                                yaw_to_quaternion)
+from hector_slam_tpu.export.trajectory import TrajectoryRecorder
+from hector_slam_tpu.io.attitude import (attitude_to_stabilized_transform,
+                                         fuse_pose_and_attitude,
+                                         quaternion_to_rpy,
+                                         rpy_to_quaternion)
+from hector_slam_tpu.io.checkpoint import load_state, save_state
+from hector_slam_tpu.io.scanlog import LaserModel, scan_from_ranges
+from hector_slam_tpu.io.simulator import World, corridor_trajectory, simulate_trajectory
+from hector_slam_tpu.query.raycast import (distance_to_obstacle,
+                                           distance_to_obstacle_batch,
+                                           get_distance_to_obstacle,
+                                           get_search_position)
+
+CFG = SlamConfig(
+    map=MapConfig(resolution=0.05, size_x=256, size_y=256, levels=2),
+    max_beams=384, max_ray_cells=256)
+LASER = LaserModel(num_beams=271, angle_min=-2.356194490192345,
+                   angle_increment=4 * 0.004363323129985824,
+                   range_min=0.1, range_max=12.0)
+
+
+@pytest.fixture(scope="module")
+def mapped_state():
+    world = World.room(size=10.0)
+    poses = corridor_trajectory(10, advance=0.06, weave=0.03)
+    ranges = simulate_trajectory(world, poses, LASER)
+    state = init_state(CFG)
+    scale = CFG.map.level_scale(0)
+    for r, p in zip(ranges, poses):
+        sc = scan_from_ranges(r, scale, LASER, CFG.max_beams)
+        state, _ = slam_step_jit(state, sc, CFG, pose_hint=jnp.asarray(p),
+                                 map_without_matching=True)
+    return state, poses
+
+
+def test_occupancy_grid_semantics(mapped_state):
+    state, _ = mapped_state
+    occ = to_occupancy_grid(state.log_odds[0])
+    lo = np.asarray(state.log_odds[0])
+    assert set(np.unique(occ)) <= {-1, 0, 100}
+    np.testing.assert_array_equal(occ == 100, lo > 0)
+    np.testing.assert_array_equal(occ == 0, lo < 0)
+    np.testing.assert_array_equal(occ == -1, lo == 0)
+    # device variant identical
+    occ_j = np.asarray(to_occupancy_grid_jax(state.log_odds[0]))
+    np.testing.assert_array_equal(occ_j, occ)
+
+
+def test_grid_meta_and_extends(mapped_state):
+    state, _ = mapped_state
+    meta = grid_meta(CFG.map)
+    assert meta.width == 256 and meta.resolution == 0.05
+    # origin: world coords of cell (0,0) minus half a cell; world (0,0)
+    # maps to map center (start_coords .5,.5) -> origin ~ -6.4 - 0.025
+    assert abs(meta.origin[0] + 6.425) < 1e-5
+    occ = to_occupancy_grid(state.log_odds[0])
+    ext = map_extends(occ)
+    assert ext is not None
+    (x0, y0), (x1, y1) = ext
+    known = np.asarray(occ) != -1
+    ys, xs = np.nonzero(known)
+    assert (x0, y0, x1, y1) == (xs.min(), ys.min(), xs.max() + 1,
+                                ys.max() + 1)
+    assert map_extends(np.full((8, 8), -1, np.int8)) is None
+
+
+def test_map_images(tmp_path, mapped_state):
+    state, _ = mapped_state
+    occ = to_occupancy_grid(state.log_odds[0])
+    img = map_to_image(occ)
+    # y-flip + value mapping (map_to_image_node.cpp:99-140)
+    assert img[0, 0] == {-1: 127, 0: 255, 100: 0}[int(occ[-1, 0])]
+    assert set(np.unique(img)) <= {0, 127, 255}
+
+    meta = grid_meta(CFG.map)
+    tile = map_tile_image(occ, meta, (0.0, 0.0), 64, 64)
+    assert tile.shape == (64, 64)
+    # edge clamping: robot far outside -> window shifted, not shrunk
+    tile2 = map_tile_image(occ, meta, (100.0, 100.0), 64, 64)
+    assert tile2.shape == (64, 64)
+
+    p = str(tmp_path / "map.png")
+    write_png(p, img)
+    assert read_png_size(p) == (img.shape[1], img.shape[0])
+
+
+def test_geotiff_export(tmp_path, mapped_state):
+    state, poses = mapped_state
+    occ = to_occupancy_grid(state.log_odds[0])
+    meta = grid_meta(CFG.map)
+    png, tfw = write_geotiff(occ, meta, str(tmp_path / "gt"),
+                             path_world=poses)
+    assert os.path.exists(png) and os.path.exists(tfw)
+    lines = open(tfw).read().strip().split("\n")
+    assert len(lines) == 6
+    res_geo = float(lines[0])
+    assert abs(res_geo - 0.05 / 3.0) < 1e-9
+    assert float(lines[1]) == 0.0 and float(lines[2]) == 0.0
+    assert abs(float(lines[3]) + res_geo) < 1e-9
+    # georeference roundtrip: a world point must land at the same image
+    # pixel whether computed via the exporter's transformer chain or the
+    # .tfw affine
+    exp = GeotiffExporter(occ, meta)
+    w = np.asarray([0.5, -0.3], np.float32)
+    geo = exp.world_geo.inv(w)
+    # .tfw: world_x = C + res_geo * col ; world_y = F - res_geo * row
+    # with the rotated image: col = yMax - geo_y, row = xMax - geo_x
+    col = exp.y_max - geo[1]
+    row = exp.x_max - geo[0]
+    wx = float(lines[4]) + res_geo * col
+    wy = float(lines[5]) - res_geo * row
+    # the tfw corner convention: reference swaps axes for the rotated
+    # image: tfw 'x' line holds -world.y — so wx reconstructs -w[1]
+    assert abs(wx - (-w[1])) < 0.02, (wx, w)
+    assert abs(wy - w[0]) < 0.02, (wy, w)
+
+
+def test_trajectory_recorder_and_recovery():
+    rec = TrajectoryRecorder()
+    assert rec.recovery_info(0.0, 1.0) is None
+    for i in range(50):
+        rec.add(i * 0.25, [i * 0.1, 0.0, 0.0])
+    rec.add(49 * 0.25, [99.0, 0.0, 0.0])  # duplicate stamp -> dropped
+    assert len(rec.path()) == 50
+    assert rec.path()[-1][0] != 99.0
+
+    info = rec.recovery_info(12.0, 1.0)  # pose at t=12 -> idx 48, x=4.8
+    assert info is not None
+    assert info.req_pose[0] == np.float32(4.8)
+    # walking back until >1m: entry pose x <= 3.8
+    d = np.linalg.norm(info.req_pose[:2] - info.radius_entry_pose[:2])
+    assert d > 1.0
+    # trajectory is reverse chronological from req to entry
+    assert info.trajectory[0][0] == info.req_pose[0]
+    assert np.all(np.diff(info.trajectory[:, 0]) < 0)
+
+    # radius larger than the whole path -> failure (None)
+    assert rec.recovery_info(12.0, 100.0) is None
+
+    rec.reset()
+    assert len(rec.path()) == 0
+
+
+def test_raycast_distance():
+    # 64x64 map, wall at x=40
+    occ = np.zeros((64, 64), np.int8)
+    occ[:, 40] = 100
+    meta = GridMeta(resolution=0.1, origin=(0.0, 0.0), width=64, height=64)
+    dist, hit = distance_to_obstacle(occ, meta, (1.0, 3.2), (6.0, 3.2))
+    # begin cell (10,32); hit at (40,32) -> 30 cells -> 3.0 m
+    assert abs(dist - 3.0) < 1e-6
+    assert abs(hit[0] - 4.0) < 1e-6
+    # no hit -> -1
+    d2, h2 = distance_to_obstacle(occ, meta, (1.0, 3.2), (3.0, 3.2))
+    assert d2 == -1.0 and h2 is None
+    # out of map -> -1
+    d3, _ = distance_to_obstacle(occ, meta, (-1.0, 3.2), (6.0, 3.2))
+    assert d3 == -1.0
+
+    # service wrapper: caps ray at 5 m; 3D slant correction
+    d4 = get_distance_to_obstacle(occ, meta, (1.0, 3.2), (2.0, 3.2))
+    assert abs(d4 - 3.0) < 1e-6
+    d5 = get_distance_to_obstacle(occ, meta, (1.0, 3.2, 0.0),
+                                  (2.0, 3.2, 1.0))
+    assert d5 > d4  # slant-corrected distance is longer
+
+    # batched jax variant agrees on cell distances
+    begins = jnp.asarray([[10, 32], [10, 32], [-1, 0]], jnp.int32)
+    ends = jnp.asarray([[60, 32], [30, 32], [5, 5]], jnp.int32)
+    bd = np.asarray(distance_to_obstacle_batch(jnp.asarray(occ), begins,
+                                               ends, max_cells=128))
+    assert bd[0] == 30.0 and bd[1] == -1.0 and bd[2] == -1.0
+
+
+def test_get_search_position():
+    pose = np.asarray([2.0, 1.0, np.pi / 2], np.float32)
+    out = get_search_position(pose, 0.5)
+    np.testing.assert_allclose(out[:2], [2.0, 0.5], atol=1e-6)
+    assert out[2] == pose[2]
+
+
+def test_pose_output():
+    q = yaw_to_quaternion(0.7)
+    assert abs(quaternion_to_yaw(q) - 0.7) < 1e-6
+    cov3 = np.arange(9, dtype=np.float32).reshape(3, 3)
+    cov3 = (cov3 + cov3.T) / 2
+    c6 = covariance_6x6(cov3)
+    assert c6[0, 0] == cov3[0, 0] and c6[5, 5] == cov3[2, 2]
+    assert c6[0, 5] == cov3[0, 2] and c6[1, 5] == cov3[1, 2]
+    ps = pose_stamped(np.asarray([1.0, 2.0, 0.3]), cov3, 12.5)
+    assert ps["position"][0] == 1.0 and ps["stamp"] == 12.5
+
+    cw = covariance_world_coords(cov3, 0.05)
+    assert abs(cw[0, 0] - cov3[0, 0] * 0.05 ** 2) < 1e-9
+    assert abs(cw[2, 0] - cov3[2, 0] * 0.05) < 1e-9
+    assert cw[2, 2] == cov3[2, 2]
+
+
+def test_debug_diagnostics(mapped_state):
+    state, poses = mapped_state
+    world = World.room(size=10.0)
+    r = simulate_trajectory(world, poses[-1:], LASER)[0]
+    sc = scan_from_ranges(r, CFG.map.level_scale(0), LASER, CFG.max_beams)
+    pose, hess, diag = match_pyramid_debug_jit(
+        state.log_odds, jnp.asarray(poses[-1]), sc, CFG)
+    n_iter = (CFG.match.iterations_coarse + 1) + \
+        (CFG.match.iterations_finest + 1)
+    assert diag.hessian.shape == (n_iter, 3, 3)
+    # last recorded H == returned H
+    np.testing.assert_array_equal(np.asarray(diag.hessian[-1]),
+                                  np.asarray(hess))
+    d = np.asarray(diag.determinant)
+    assert np.isfinite(d).all() and (d[-1] > 0)
+    assert np.asarray(diag.condition_num)[-1] >= 1.0
+    assert np.asarray(diag.condition_num_2d)[-1] >= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path, mapped_state):
+    state, _ = mapped_state
+    p = str(tmp_path / "ckpt.npz")
+    save_state(p, state)
+    restored = load_state(p, CFG)
+    for a, b in zip([state.pose, state.last_map_update_pose,
+                     state.covariance],
+                    [restored.pose, restored.last_map_update_pose,
+                     restored.covariance]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for lvl in range(CFG.map.levels):
+        np.testing.assert_array_equal(np.asarray(state.log_odds[lvl]),
+                                      np.asarray(restored.log_odds[lvl]))
+    assert int(restored.step) == int(state.step)
+    # wrong config -> error
+    bad = SlamConfig(map=MapConfig(resolution=0.05, size_x=256,
+                                   size_y=256, levels=3))
+    with pytest.raises(ValueError):
+        load_state(p, bad)
+
+
+def test_attitude_fusion():
+    q = rpy_to_quaternion(0.1, -0.2, 1.5)
+    r, p, y = quaternion_to_rpy(q)
+    np.testing.assert_allclose([r, p, y], [0.1, -0.2, 1.5], atol=1e-9)
+    # stabilized transform drops yaw
+    qs = attitude_to_stabilized_transform(q)
+    r2, p2, y2 = quaternion_to_rpy(qs)
+    np.testing.assert_allclose([r2, p2, y2], [0.1, -0.2, 0.0], atol=1e-9)
+    # fusion: slam yaw + imu roll/pitch
+    qf = fuse_pose_and_attitude([0.0, 0.0, 0.77], q)
+    rf, pf, yf = quaternion_to_rpy(qf)
+    np.testing.assert_allclose([rf, pf, yf], [0.1, -0.2, 0.77], atol=1e-9)
