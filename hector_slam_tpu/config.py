@@ -83,11 +83,18 @@ class MatchConfig:
 
 @dataclasses.dataclass(frozen=True)
 class UpdateConfig:
-    """Log-odds map update parameters (GridMapLogOdds.h, OccGridMapBase.h)."""
+    """Map update parameters (GridMapLogOdds.h, OccGridMapBase.h).
+
+    ``cell_model`` selects the per-cell representation — "log_odds"
+    (default), "simple_count", or "reflectance" — the reference's three
+    cell types, there selectable only by editing the GridMap typedef
+    (map/GridMap.h:39-41); see core/cell_models.py.
+    """
 
     update_factor_free: float = 0.4        # HectorMappingRos.cpp:72
     update_factor_occupied: float = 0.9    # HectorMappingRos.cpp:73
     log_odds_clamp_occupied: float = 50.0  # GridMapLogOdds.h:137
+    cell_model: str = "log_odds"
 
     @staticmethod
     def _prob_to_log_odds(p: float) -> float:
@@ -150,6 +157,23 @@ TUTORIAL_CONFIG = SlamConfig(
 BENCH_CONFIG = SlamConfig(
     map=MapConfig(resolution=0.05, size_x=1024, size_y=1024, levels=3),
     max_ray_cells=640,
+)
+
+# Height-mapping configuration (hector_slam_launch/launch/
+# height_mapping.launch: known poses, thresholds 0 so every scan maps,
+# z-band filtering done by the caller via process_points(z_min, z_max)).
+HEIGHT_MAPPING_CONFIG = SlamConfig(
+    map=MapConfig(resolution=0.05, size_x=1024, size_y=1024, levels=2),
+    map_update_distance_thresh=0.0,
+    map_update_angle_thresh=0.0,
+    max_ray_cells=640,
+)
+
+# Single-map configuration (slam_main/MapRepSingleMap.h:49,79: one
+# 1024^2 level, 20 GN iterations — the unused alternative representation).
+SINGLE_MAP_CONFIG = SlamConfig(
+    map=MapConfig(resolution=0.025, size_x=1024, size_y=1024, levels=1),
+    match=MatchConfig(iterations_finest=20),
 )
 
 DEFAULT_CONFIG = SlamConfig()

@@ -78,10 +78,17 @@ def pose_difference_larger_than(pose1: jnp.ndarray, pose2: jnp.ndarray,
     return dist_exceeded | (jnp.abs(angle_diff) > jnp.float32(angle_thresh))
 
 
-def init_log_odds_pyramid(cfg: MapConfig):
-    """Freshly reset pyramid: all cells 0 log-odds (GridMapLogOdds.h:89-93)."""
+def init_log_odds_pyramid(cfg: MapConfig, cell_model: str = "log_odds"):
+    """Freshly reset pyramid (resetGridCell semantics per cell model:
+    log-odds 0, probability models 0.5, reflectance zero counters)."""
+    from .cell_models import init_fill, storage_channels
+    fill = init_fill(cell_model)
+    channels = storage_channels(cell_model)
     grids = []
     for lvl in range(cfg.levels):
         sx, sy = cfg.level_size(lvl)
-        grids.append(jnp.zeros((sy, sx), jnp.float32))
+        if channels == 1:
+            grids.append(jnp.full((sy, sx), fill, jnp.float32))
+        else:
+            grids.append(jnp.zeros((channels, sy, sx), jnp.float32))
     return tuple(grids)

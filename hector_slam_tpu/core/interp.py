@@ -26,7 +26,7 @@ from typing import Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from .grid import log_odds_to_prob
+from .cell_models import storage_to_prob
 
 _F1 = np.float32(1.0)
 
@@ -34,8 +34,13 @@ _F1 = np.float32(1.0)
 def interp_with_derivatives(
     log_odds: jnp.ndarray,   # f32[H, W] one pyramid level
     coords: jnp.ndarray,     # f32[..., 2] map coords
+    cell_model: str = "log_odds",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (M, dM/dx, dM/dy), each f32[...]; zeros when out of bounds."""
+    """Returns (M, dM/dx, dM/dy), each f32[...]; zeros when out of bounds.
+
+    ``cell_model``: "log_odds" converts gathered values through the
+    sigmoid; "simple_count" gathers probabilities directly (also the
+    path used for a precomputed reflectance prob grid)."""
     h, w = log_odds.shape
     x = coords[..., 0]
     y = coords[..., 1]
@@ -50,12 +55,12 @@ def interp_with_derivatives(
     fx = x - xi.astype(jnp.float32)
     fy = y - yi.astype(jnp.float32)
 
-    # gather 4 neighbors, convert the gathered log-odds to probabilities
+    # gather 4 neighbors, convert the gathered values to probabilities
     # (replaces the lazy per-cell cache, GridMapCacheArray.h:80-90)
-    p00 = log_odds_to_prob(log_odds[yi, xi])
-    p10 = log_odds_to_prob(log_odds[yi, xi + 1])
-    p01 = log_odds_to_prob(log_odds[yi + 1, xi])
-    p11 = log_odds_to_prob(log_odds[yi + 1, xi + 1])
+    p00 = storage_to_prob(log_odds[yi, xi], cell_model)
+    p10 = storage_to_prob(log_odds[yi, xi + 1], cell_model)
+    p01 = storage_to_prob(log_odds[yi + 1, xi], cell_model)
+    p11 = storage_to_prob(log_odds[yi + 1, xi + 1], cell_model)
 
     dx1 = p00 - p10
     dx2 = p01 - p11
@@ -81,6 +86,7 @@ def hessian_derivs(
     pose_map: jnp.ndarray,    # f32[3] pose in this level's map coords
     points: jnp.ndarray,      # f32[N, 2] beam endpoints (map-scale, robot frame)
     mask: jnp.ndarray,        # bool[N]
+    cell_model: str = "log_odds",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """getCompleteHessianDerivs (OccGridMapUtil.h:64-104), beam-parallel.
 
@@ -97,7 +103,7 @@ def hessian_derivs(
     ty = sin_rot * px + cos_rot * py + pose_map[1]
 
     m, gx, gy = interp_with_derivatives(
-        log_odds, jnp.stack([tx, ty], axis=-1))
+        log_odds, jnp.stack([tx, ty], axis=-1), cell_model)
     # mask padded beams (the reference never sees them at all)
     valid = mask
     gx = jnp.where(valid, gx, 0.0)

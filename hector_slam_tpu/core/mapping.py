@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from ..config import SlamConfig
 from ..types import Scan
+from .cell_models import apply_update
 from .grid import world_to_map_pose
 
 _OCC_CLAMP = np.float32(50.0)
@@ -142,6 +143,7 @@ def update_level(
     log_odds_free: float,
     log_odds_occupied: float,
     beam_axis: str | None = None,
+    cell_model: str = "log_odds",
 ) -> jnp.ndarray:
     """Applies one scan's log-odds update to one level (see module doc for
     the scatter-mask derivation from OccGridMapBase.h:216-241).
@@ -152,18 +154,16 @@ def update_level(
     exact.
     """
     free_set, occ_set = rasterize_scan(
-        log_odds.shape, pose_world, scan_points, scan_origo, scan_mask,
-        offset, scale, max_ray_cells)
+        log_odds.shape[-2:], pose_world, scan_points, scan_origo,
+        scan_mask, offset, scale, max_ray_cells)
     if beam_axis is not None:
         free_set = jax.lax.psum(
             free_set.astype(jnp.int32), beam_axis) > 0
         occ_set = jax.lax.psum(
             occ_set.astype(jnp.int32), beam_axis) > 0
     free_only = free_set & ~occ_set
-    occ_applied = occ_set & (log_odds < _OCC_CLAMP)
-    return (log_odds
-            + jnp.where(free_only, jnp.float32(log_odds_free), 0.0)
-            + jnp.where(occ_applied, jnp.float32(log_odds_occupied), 0.0))
+    return apply_update(log_odds, free_only, occ_set, cell_model,
+                        log_odds_free, log_odds_occupied)
 
 
 def update_pyramid(
@@ -186,6 +186,6 @@ def update_pyramid(
             mcfg.top_left_offset, mcfg.level_scale(level),
             cfg.level_max_ray_cells(level),
             cfg.update.log_odds_free, cfg.update.log_odds_occupied,
-            beam_axis,
+            beam_axis, cfg.update.cell_model,
         ))
     return tuple(out)

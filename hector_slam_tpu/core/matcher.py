@@ -32,6 +32,7 @@ from ..config import SlamConfig
 from ..types import MatchResult, Scan
 from ..ops.solve3 import solve3
 from .grid import (map_to_world_pose, normalize_angle, world_to_map_pose)
+from .cell_models import reflectance_prob_grid
 from .interp import hessian_derivs
 
 _CLAMP = np.float32(0.2)
@@ -43,6 +44,7 @@ def gn_step(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     beam_axis: str | None = None,
+    cell_model: str = "log_odds",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One estimateTransformationLogLh step (ScanMatcher.h:194-226).
 
@@ -52,7 +54,8 @@ def gn_step(
     This is the TPU-native replacement for the reference's serial scan
     loop (SURVEY.md §2.4).
     """
-    hess, dtr = hessian_derivs(log_odds, estimate_map, points, mask)
+    hess, dtr = hessian_derivs(log_odds, estimate_map, points, mask,
+                               cell_model)
     if beam_axis is not None:
         hess = jax.lax.psum(hess, beam_axis)
         dtr = jax.lax.psum(dtr, beam_axis)
@@ -77,6 +80,7 @@ def match_level(
     scale,
     cell_length,
     beam_axis: str | None = None,
+    cell_model: str = "log_odds",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ScanMatcher::matchData on one pyramid level. ``iterations`` is the
     reference's maxIterations; iterations+1 GN steps run (ScanMatcher.h:74,94).
@@ -84,7 +88,8 @@ def match_level(
     estimate = world_to_map_pose(begin_estimate_world, offset, scale)
     hess = jnp.zeros((3, 3), jnp.float32)
     for _ in range(iterations + 1):  # static unroll: 6 or 4 steps
-        estimate, hess = gn_step(log_odds, estimate, points, mask, beam_axis)
+        estimate, hess = gn_step(log_odds, estimate, points, mask,
+                                 beam_axis, cell_model)
     estimate = estimate.at[2].set(normalize_angle(estimate[2]))
     world = map_to_world_pose(estimate, offset, cell_length)
     # empty scan: return the input pose verbatim (ScanMatcher.h:68,189)
@@ -108,6 +113,7 @@ def match_pyramid(
     The returned H is the finest level's (it overwrites covMatrix last).
     """
     mcfg = cfg.map
+    model = cfg.update.cell_model
     pose = begin_estimate_world
     hess = jnp.zeros((3, 3), jnp.float32)
     for level in range(mcfg.levels - 1, -1, -1):
@@ -115,9 +121,16 @@ def match_pyramid(
         pts = scan.points * factor if level > 0 else scan.points
         iters = (cfg.match.iterations_finest if level == 0
                  else cfg.match.iterations_coarse)
+        grid_lvl = log_odds_pyramid[level]
+        gather_model = model
+        if model == "reflectance":
+            # counters -> dense prob grid once per level; gathers then
+            # read probabilities directly
+            grid_lvl = reflectance_prob_grid(grid_lvl)
+            gather_model = "simple_count"
         pose, hess = match_level(
-            log_odds_pyramid[level], pose, pts, scan.mask, iters,
+            grid_lvl, pose, pts, scan.mask, iters,
             mcfg.top_left_offset, mcfg.level_scale(level),
-            mcfg.level_resolution(level), beam_axis,
+            mcfg.level_resolution(level), beam_axis, gather_model,
         )
     return MatchResult(pose=pose, hessian=hess)

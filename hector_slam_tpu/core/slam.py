@@ -36,7 +36,7 @@ def init_state(cfg: SlamConfig) -> SlamState:
     """Fresh state == HectorSlamProcessor::reset (HectorSlamProcessor.h:115)."""
     flt_max = jnp.float32(jnp.finfo(jnp.float32).max)
     return SlamState(
-        log_odds=init_log_odds_pyramid(cfg.map),
+        log_odds=init_log_odds_pyramid(cfg.map, cfg.update.cell_model),
         pose=jnp.zeros(3, jnp.float32),
         last_map_update_pose=jnp.full((3,), flt_max, jnp.float32),
         covariance=jnp.zeros((3, 3), jnp.float32),

@@ -62,21 +62,22 @@ def grid_meta(cfg: MapConfig, level: int = 0) -> GridMeta:
     return GridMeta(resolution=res, origin=(ox, oy), width=sx, height=sy)
 
 
-def to_occupancy_grid(log_odds) -> np.ndarray:
+def to_occupancy_grid(log_odds, cell_model: str = "log_odds") -> np.ndarray:
     """int8[H, W] with {-1, 0, 100} (row-major, index y*W+x like the
-    reference's flat data array)."""
-    lo = np.asarray(log_odds)
-    out = np.full(lo.shape, -1, np.int8)
-    out[lo < 0.0] = 0
-    out[lo > 0.0] = 100
-    return out
+    reference's flat data array). Classification follows the cell model's
+    isOccupied/isFree thresholds."""
+    return np.asarray(to_occupancy_grid_jax(jnp.asarray(log_odds),
+                                            cell_model))
 
 
-def to_occupancy_grid_jax(log_odds: jnp.ndarray) -> jnp.ndarray:
+def to_occupancy_grid_jax(log_odds: jnp.ndarray,
+                          cell_model: str = "log_odds") -> jnp.ndarray:
     """Device-side variant (for export without host round-trip)."""
-    lo = log_odds
-    return jnp.where(lo > 0.0, jnp.int8(100),
-                     jnp.where(lo < 0.0, jnp.int8(0), jnp.int8(-1)))
+    from ..core.cell_models import is_free, is_occupied
+    occ = is_occupied(log_odds, cell_model)
+    free = is_free(log_odds, cell_model)
+    return jnp.where(occ, jnp.int8(100),
+                     jnp.where(free, jnp.int8(0), jnp.int8(-1)))
 
 
 def map_extends(occ_grid: np.ndarray

@@ -1,0 +1,223 @@
+"""SlamSession driver: controls (pause/reset/initial pose), callbacks,
+map publication gating, timing; pose2d algebra; alt cell models;
+sigma-point covariance; config presets."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hector_slam_tpu.config import (HEIGHT_MAPPING_CONFIG, MapConfig,
+                                    SINGLE_MAP_CONFIG, SlamConfig,
+                                    UpdateConfig)
+from hector_slam_tpu.core import pose2d
+from hector_slam_tpu.core.cell_models import (apply_update,
+                                              reflectance_prob_grid)
+from hector_slam_tpu.core.covariance import (interp_map_value,
+                                             likelihood_for_state,
+                                             sigma_point_covariance_jit)
+from hector_slam_tpu.core.slam import init_state, slam_step_jit
+from hector_slam_tpu.io.scanlog import LaserModel, scan_from_ranges
+from hector_slam_tpu.io.simulator import World, corridor_trajectory, simulate_trajectory
+from hector_slam_tpu.session import SlamSession
+from hector_slam_tpu.types import Scan
+
+CFG = SlamConfig(
+    map=MapConfig(resolution=0.05, size_x=256, size_y=256, levels=2),
+    max_beams=384, max_ray_cells=256)
+LASER = LaserModel(num_beams=271, angle_min=-2.356194490192345,
+                   angle_increment=4 * 0.004363323129985824,
+                   range_min=0.1, range_max=12.0)
+
+
+@pytest.fixture(scope="module")
+def log():
+    world = World.corridor(length=8.0, width=3.0)
+    poses = corridor_trajectory(12, advance=0.06, weave=0.03)
+    return poses, simulate_trajectory(world, poses, LASER)
+
+
+def test_session_basic_flow(log):
+    poses, ranges = log
+    got_poses = []
+    maps_updated = []
+    sess = SlamSession(CFG, LASER,
+                       on_pose=lambda p: got_poses.append(p),
+                       on_map_update=lambda s: maps_updated.append(1))
+    for t, r in enumerate(ranges):
+        p = sess.process_ranges(r, stamp=t * 0.025)
+        assert p is not None
+    assert len(got_poses) == len(ranges)
+    assert len(maps_updated) >= 1            # first scan always maps
+    assert len(sess.trajectory.path()) == len(ranges)
+    st = sess.timing_stats()
+    assert st["count"] == len(ranges) and st["p50_ms"] > 0
+    err = np.linalg.norm(sess.pose[:2] - poses[len(ranges) - 1][:2])
+    assert err < 0.12
+    assert sess.covariance.shape == (3, 3)
+
+
+def test_session_pause_resume(log):
+    _, ranges = log
+    sess = SlamSession(CFG, LASER)
+    sess.pause()
+    assert sess.process_ranges(ranges[0]) is None
+    assert int(sess.state.step) == 0
+    sess.resume()
+    assert sess.process_ranges(ranges[0]) is not None
+    assert int(sess.state.step) == 1
+
+
+def test_session_initial_pose_latch(log):
+    _, ranges = log
+    sess = SlamSession(CFG, LASER, map_with_known_poses=True)
+    sess.set_initial_pose([1.0, 2.0, 0.5])
+    p1 = sess.process_ranges(ranges[0])
+    np.testing.assert_allclose(p1, [1.0, 2.0, 0.5])
+    # latched pose consumed: next scan starts from the last match pose
+    p2 = sess.process_ranges(ranges[1])
+    np.testing.assert_allclose(p2, p1)  # known poses: hint = last pose
+
+
+def test_session_reset_with_pose(log):
+    _, ranges = log
+    sess = SlamSession(CFG, LASER, map_with_known_poses=True)
+    sess.process_ranges(ranges[0])
+    occ1 = sess.occupancy_grid()
+    assert (occ1 != -1).sum() > 0
+    sess.reset_with_pose([0.5, -0.5, 0.1])
+    assert int(sess.state.step) == 0
+    assert (sess.occupancy_grid() == -1).all()
+    p = sess.process_ranges(ranges[0])
+    np.testing.assert_allclose(p, [0.5, -0.5, 0.1])
+
+
+def test_session_map_publication_gating(log):
+    _, ranges = log
+    sess = SlamSession(CFG, LASER)
+    sess.process_ranges(ranges[0])
+    assert sess.occupancy_grid(only_if_changed=True) is not None
+    # no further map update -> gated export returns None
+    assert sess.occupancy_grid(only_if_changed=True) is None
+    assert sess.occupancy_grid() is not None  # ungated always works
+
+
+def test_session_z_band_filter():
+    sess = SlamSession(CFG, LASER)
+    pts = np.asarray([[1.0, 0.0, 0.5], [1.0, 0.5, 3.0]], np.float32)
+    # second point outside the z band must be dropped
+    sess.process_points(pts, z_min=0.0, z_max=1.0)
+    # can't see beams directly; check via a fresh known-pose session map
+    sess2 = SlamSession(CFG, LASER, map_with_known_poses=True)
+    sess2.process_points(pts, z_min=0.0, z_max=1.0)
+    occ = sess2.occupancy_grid()
+    assert (occ == 100).sum() == 1
+
+
+def test_pose2d_algebra():
+    a = np.asarray([1.0, 2.0, np.pi / 2])
+    b = np.asarray([1.0, 0.0, 0.1])
+    c = pose2d.compose(a, b)
+    np.testing.assert_allclose(c, [1.0, 3.0, np.pi / 2 + 0.1], atol=1e-12)
+    ident = pose2d.compose(a, pose2d.invert(a))
+    np.testing.assert_allclose(ident, [0, 0, 0], atol=1e-12)
+    # map->odom: composing with odom->base must give map->base
+    map_base = np.asarray([2.0, 1.0, 0.7])
+    odom_base = np.asarray([0.5, -0.2, 0.3])
+    m2o = pose2d.map_to_odom(map_base, odom_base)
+    np.testing.assert_allclose(pose2d.compose(m2o, odom_base), map_base,
+                               atol=1e-12)
+
+
+def test_simple_count_model_golden():
+    """Hand-checked deltas from GridMapSimpleCount.h:101-148."""
+    storage = jnp.full((4, 4), 0.5, jnp.float32)
+    free = jnp.zeros((4, 4), bool).at[1, 1].set(True)
+    occ = jnp.zeros((4, 4), bool).at[2, 2].set(True)
+    out = np.asarray(apply_update(storage, free, occ, "simple_count",
+                                  0.0, 0.0))
+    assert abs(out[1, 1] - 0.4) < 1e-6
+    assert abs(out[2, 2] - 0.65) < 1e-6
+    # clamps: occupied stops above 1 - 0.15 - 0.0015
+    hi = jnp.full((1, 1), 0.86, jnp.float32)
+    out2 = np.asarray(apply_update(hi, jnp.zeros((1, 1), bool),
+                                   jnp.ones((1, 1), bool), "simple_count",
+                                   0.0, 0.0))
+    assert out2[0, 0] == np.float32(0.86)  # 0.86 >= 0.8485 limit
+    lo = jnp.full((1, 1), 0.05, jnp.float32)
+    out3 = np.asarray(apply_update(lo, jnp.ones((1, 1), bool),
+                                   jnp.zeros((1, 1), bool), "simple_count",
+                                   0.0, 0.0))
+    assert out3[0, 0] == np.float32(0.05)  # 0.05 <= 0.099 limit
+
+
+def test_reflectance_model_golden():
+    storage = jnp.zeros((2, 4, 4), jnp.float32)
+    free = jnp.zeros((4, 4), bool).at[1, 1].set(True)
+    occ = jnp.zeros((4, 4), bool).at[2, 2].set(True)
+    out = apply_update(storage, free, occ, "reflectance", 0.0, 0.0)
+    out = apply_update(out, free, occ, "reflectance", 0.0, 0.0)
+    out = apply_update(out, occ, free, "reflectance", 0.0, 0.0)  # swap
+    prob = np.asarray(reflectance_prob_grid(out))
+    # cell (1,1): visited 3 (2 free + 1 occ), reflected 1 -> 1/3
+    assert abs(prob[1, 1] - 1.0 / 3.0) < 1e-6
+    # cell (2,2): visited 3, reflected 2 -> 2/3
+    assert abs(prob[2, 2] - 2.0 / 3.0) < 1e-6
+    assert prob[0, 0] == 0.5  # unvisited
+
+
+def test_simple_count_slam_end_to_end(log):
+    """The whole engine runs with the alternative cell model. The
+    simple-count contrast (+-0.15 per hit from 0.5) is too weak to
+    bootstrap tracking from a single scan (the reference never tuned this
+    unused model), so build the map with known poses first, then verify
+    scan matching localizes against it."""
+    poses, ranges = log
+    cfg = SlamConfig(
+        map=MapConfig(resolution=0.05, size_x=256, size_y=256, levels=2),
+        update=UpdateConfig(cell_model="simple_count"),
+        max_beams=384, max_ray_cells=256)
+    state = init_state(cfg)
+    assert float(state.log_odds[0][0, 0]) == 0.5
+    for r, p in zip(ranges, poses):
+        sc = scan_from_ranges(r, cfg.map.level_scale(0), LASER,
+                              cfg.max_beams)
+        state, _ = slam_step_jit(state, sc, cfg, pose_hint=jnp.asarray(p),
+                                 map_without_matching=True)
+    lo = np.asarray(state.log_odds[0])
+    assert (lo > 0.5).sum() > 50 and (lo < 0.5).sum() > 1000
+    # localization: perturbed start must converge to the true pose
+    from hector_slam_tpu.core.matcher import match_pyramid
+    start = poses[5] + np.asarray([0.05, -0.04, 0.03], np.float32)
+    sc = scan_from_ranges(ranges[5], cfg.map.level_scale(0), LASER,
+                          cfg.max_beams)
+    res = match_pyramid(state.log_odds, jnp.asarray(start), sc, cfg)
+    err = np.linalg.norm(np.asarray(res.pose)[:2] - poses[5][:2])
+    assert err < 0.02, err
+
+
+def test_sigma_point_covariance(log):
+    poses, ranges = log
+    sess = SlamSession(CFG, LASER, map_with_known_poses=True)
+    for r, p in zip(ranges, poses):
+        sess.process_ranges(r, pose_hint=p)
+    from hector_slam_tpu.core.grid import world_to_map_pose
+    pm = world_to_map_pose(jnp.asarray(poses[5]), CFG.map.top_left_offset,
+                           CFG.map.level_scale(0))
+    sc = scan_from_ranges(ranges[5], CFG.map.level_scale(0), LASER,
+                          CFG.max_beams)
+    cov = np.asarray(sigma_point_covariance_jit(
+        sess.state.log_odds[0], pm, sc))
+    assert cov.shape == (3, 3)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-5)
+    assert np.all(np.diag(cov) >= 0)
+    lh = float(likelihood_for_state(sess.state.log_odds[0], pm, sc))
+    assert 0.0 < lh <= 1.0
+    v = float(interp_map_value(sess.state.log_odds[0],
+                               pm[:2][None] * 0 + 128.0)[0])
+    assert 0.0 <= v <= 1.0
+
+
+def test_config_presets():
+    assert HEIGHT_MAPPING_CONFIG.map_update_distance_thresh == 0.0
+    assert SINGLE_MAP_CONFIG.map.levels == 1
+    assert SINGLE_MAP_CONFIG.match.iterations_finest == 20
