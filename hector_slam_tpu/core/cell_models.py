@@ -32,6 +32,9 @@ import jax.numpy as jnp
 LOG_ODDS = "log_odds"
 SIMPLE_COUNT = "simple_count"
 REFLECTANCE = "reflectance"
+# gather-path marker: the grid already stores probabilities (a prob grid
+# precomputed by prob_grid()); gathers read it verbatim
+PROB = "prob"
 
 # GridMapSimpleCountFunctions (GridMapSimpleCount.h:101-108)
 _SC_FREE = np.float32(-0.10)
@@ -54,10 +57,30 @@ def storage_to_prob(values: jnp.ndarray, model: str) -> jnp.ndarray:
     if model == LOG_ODDS:
         odds = jnp.exp(values)
         return odds / (odds + jnp.float32(1.0))
-    if model == SIMPLE_COUNT:
+    if model in (SIMPLE_COUNT, PROB):
         return values
     raise ValueError(f"gather-path prob undefined for {model}; use "
                      "reflectance_prob_grid first")
+
+
+def prob_grid(storage: jnp.ndarray, model: str) -> jnp.ndarray:
+    """Whole-grid storage -> probability conversion.
+
+    The TPU-native replacement for the reference's lazy per-cell cache
+    (map/GridMapCacheArray.h:80-90): one dense vectorized conversion per
+    map epoch instead of a branch per gather. Per-cell conversion then
+    gather is bitwise identical to gather then per-cell conversion, so
+    matcher numerics are unchanged — but the hot GN loop's 4 gathers per
+    beam become plain f32 reads with zero transcendentals.
+    """
+    if model == LOG_ODDS:
+        odds = jnp.exp(storage)
+        return odds / (odds + jnp.float32(1.0))
+    if model in (SIMPLE_COUNT, PROB):
+        return storage
+    if model == REFLECTANCE:
+        return reflectance_prob_grid(storage)
+    raise ValueError(f"unknown cell model {model!r}")
 
 
 def reflectance_prob_grid(storage: jnp.ndarray) -> jnp.ndarray:

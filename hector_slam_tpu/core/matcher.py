@@ -32,7 +32,7 @@ from ..config import SlamConfig
 from ..types import MatchResult, Scan
 from ..ops.solve3 import solve3
 from .grid import (map_to_world_pose, normalize_angle, world_to_map_pose)
-from .cell_models import reflectance_prob_grid
+from .cell_models import prob_grid
 from .interp import hessian_derivs
 
 _CLAMP = np.float32(0.2)
@@ -121,16 +121,16 @@ def match_pyramid(
         pts = scan.points * factor if level > 0 else scan.points
         iters = (cfg.match.iterations_finest if level == 0
                  else cfg.match.iterations_coarse)
-        grid_lvl = log_odds_pyramid[level]
-        gather_model = model
-        if model == "reflectance":
-            # counters -> dense prob grid once per level; gathers then
-            # read probabilities directly
-            grid_lvl = reflectance_prob_grid(grid_lvl)
-            gather_model = "simple_count"
+        # storage -> dense prob grid once per level (the TPU equivalent of
+        # GridMapCacheArray's per-epoch cache); the 4 gathers per beam in
+        # the GN loop then read probabilities with no per-gather sigmoid.
+        # Bitwise identical to converting after the gather, and under vmap
+        # (multi-hypothesis) this pose-independent conversion is traced
+        # once, not per hypothesis.
+        grid_lvl = prob_grid(log_odds_pyramid[level], model)
         pose, hess = match_level(
             grid_lvl, pose, pts, scan.mask, iters,
             mcfg.top_left_offset, mcfg.level_scale(level),
-            mcfg.level_resolution(level), beam_axis, gather_model,
+            mcfg.level_resolution(level), beam_axis, "prob",
         )
     return MatchResult(pose=pose, hessian=hess)
