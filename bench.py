@@ -2,12 +2,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The workload: 4096 perturbed start poses per scan, each running the full
+The workload: 1024 perturbed start poses per batch, each running the full
 3-level coarse-to-fine Gauss-Newton pyramid (6+4+4 = 14 GN iterations,
 1081-beam scans padded to 1152) against a 1024^2 @ 0.05 m map built from
 simulated UTM-30LX data. ``vs_baseline`` is the ratio to the reference's
 only published capability: sequential matching at the sensor's 40 Hz scan
 rate (hector_mapping/package.xml:7 — one scan-match per scan, 40/s).
+
+Timing methodology (important on remote/tunneled TPU backends): repeated
+dispatches of an identical executable+arguments can be served from a
+result cache and ``block_until_ready`` may not reflect device completion,
+so naive rep loops over-report wildly. Instead the batch is re-run K times
+INSIDE one jitted ``lax.scan`` with per-iteration-varying hypothesis
+perturbations (nothing can be hoisted or cached), a scalar is fetched to
+force completion, and the fixed fetch/dispatch overhead is cancelled by
+differencing two chain lengths.
 """
 
 from __future__ import annotations
@@ -27,7 +36,7 @@ def main() -> None:
     from hector_slam_tpu.io.scanlog import LaserModel, scan_from_ranges
     from hector_slam_tpu.io.simulator import (World, corridor_trajectory,
                                               simulate_trajectory)
-    from hector_slam_tpu.parallel.batch import match_hypotheses_jit
+    from hector_slam_tpu.parallel.batch import match_hypotheses
 
     cfg = BENCH_CONFIG
     laser = LaserModel()  # 1081-beam UTM-30LX
@@ -45,24 +54,41 @@ def main() -> None:
         state, _ = slam_step_jit(state, sc, cfg, pose_hint=jnp.asarray(p),
                                  map_without_matching=True)
 
-    B = 4096
+    B = 1024
     rng = np.random.default_rng(0)
-    hyps = jnp.asarray(
-        poses_true[-1] + rng.normal(0, 0.05, (B, 3)), jnp.float32)
+    base = jnp.asarray(poses_true[-1], jnp.float32)
     scan = scans[-1]
 
-    # compile + warm up
-    result = match_hypotheses_jit(state.log_odds, hyps, scan, cfg)
-    jax.block_until_ready(result.pose)
+    def make_chain(k: int):
+        seeds = jnp.asarray(rng.normal(0, 0.05, (k, B, 3)), jnp.float32)
 
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        result = match_hypotheses_jit(state.log_odds, hyps, scan, cfg)
-    jax.block_until_ready(result.pose)
-    dt = time.perf_counter() - t0
+        @jax.jit
+        def chain(pyramid, sc):
+            def body(carry, seed):
+                result = match_hypotheses(
+                    pyramid, base + seed + 0.0 * carry.sum(), sc, cfg)
+                return jnp.mean(result.pose, axis=0), ()
 
-    matches_per_s = B * reps / dt
+            carry, _ = jax.lax.scan(body, jnp.zeros(3, jnp.float32), seeds)
+            return jnp.sum(carry)
+
+        return lambda: float(chain(state.log_odds, sc=scan))
+
+    k_short, k_long = 4, 16
+    per_batch = []
+    for _ in range(3):
+        times = {}
+        for k in (k_short, k_long):
+            f = make_chain(k)
+            f()  # compile + warm
+            t0 = time.perf_counter()
+            f()
+            times[k] = time.perf_counter() - t0
+        per_batch.append((times[k_long] - times[k_short])
+                         / (k_long - k_short))
+    dt = min(per_batch)
+
+    matches_per_s = B / dt
     baseline_rate = 40.0  # reference: 40 Hz sequential (package.xml:7)
     print(json.dumps({
         "metric": "batched_scan_matches_per_sec_per_chip",

@@ -19,7 +19,9 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..types import Scan
 from ..ops.solve3 import det3
+from .cell_models import prob_grid
 from .grid import normalize_angle, map_to_world_pose, world_to_map_pose
+from .interp import quad_pack
 from .matcher import gn_step
 
 
@@ -70,8 +72,11 @@ def match_pyramid_debug(
         offset = mcfg.top_left_offset
         scale = mcfg.level_scale(level)
         estimate = world_to_map_pose(pose, offset, scale)
+        lvl_shape = log_odds_pyramid[level].shape[-2:]
+        quad = quad_pack(prob_grid(log_odds_pyramid[level],
+                                   cfg.update.cell_model))
         for _ in range(iters + 1):
-            estimate, hess = gn_step(log_odds_pyramid[level], estimate,
+            estimate, hess = gn_step(quad, lvl_shape, estimate,
                                      pts, scan.mask)
             diags.append((hess,) + _diag_from_hessian(hess))
         estimate = estimate.at[2].set(normalize_angle(estimate[2]))

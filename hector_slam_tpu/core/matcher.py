@@ -33,20 +33,21 @@ from ..types import MatchResult, Scan
 from ..ops.solve3 import solve3
 from .grid import (map_to_world_pose, normalize_angle, world_to_map_pose)
 from .cell_models import prob_grid
-from .interp import hessian_derivs
+from .interp import hessian_derivs_quad, quad_pack
 
 _CLAMP = np.float32(0.2)
 
 
 def gn_step(
-    log_odds: jnp.ndarray,
+    quad: jnp.ndarray,           # f32[H*W, 4] quad-packed prob grid
+    shape: Tuple[int, int],
     estimate_map: jnp.ndarray,
     points: jnp.ndarray,
     mask: jnp.ndarray,
     beam_axis: str | None = None,
-    cell_model: str = "log_odds",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One estimateTransformationLogLh step (ScanMatcher.h:194-226).
+    """One estimateTransformationLogLh step (ScanMatcher.h:194-226) over
+    a quad-packed probability grid (interp.quad_pack).
 
     ``beam_axis``: mesh axis name when the beam dimension is sharded
     (inside shard_map) — the partial JtJ/JtR blocks are psum-reduced over
@@ -54,8 +55,8 @@ def gn_step(
     This is the TPU-native replacement for the reference's serial scan
     loop (SURVEY.md §2.4).
     """
-    hess, dtr = hessian_derivs(log_odds, estimate_map, points, mask,
-                               cell_model)
+    hess, dtr = hessian_derivs_quad(quad, shape, estimate_map, points,
+                                    mask)
     if beam_axis is not None:
         hess = jax.lax.psum(hess, beam_axis)
         dtr = jax.lax.psum(dtr, beam_axis)
@@ -71,7 +72,8 @@ def gn_step(
 
 
 def match_level(
-    log_odds: jnp.ndarray,
+    quad: jnp.ndarray,           # f32[H*W, 4] quad-packed prob grid
+    shape: Tuple[int, int],
     begin_estimate_world: jnp.ndarray,
     points: jnp.ndarray,
     mask: jnp.ndarray,
@@ -80,7 +82,6 @@ def match_level(
     scale,
     cell_length,
     beam_axis: str | None = None,
-    cell_model: str = "log_odds",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ScanMatcher::matchData on one pyramid level. ``iterations`` is the
     reference's maxIterations; iterations+1 GN steps run (ScanMatcher.h:74,94).
@@ -88,8 +89,8 @@ def match_level(
     estimate = world_to_map_pose(begin_estimate_world, offset, scale)
     hess = jnp.zeros((3, 3), jnp.float32)
     for _ in range(iterations + 1):  # static unroll: 6 or 4 steps
-        estimate, hess = gn_step(log_odds, estimate, points, mask,
-                                 beam_axis, cell_model)
+        estimate, hess = gn_step(quad, shape, estimate, points, mask,
+                                 beam_axis)
     estimate = estimate.at[2].set(normalize_angle(estimate[2]))
     world = map_to_world_pose(estimate, offset, cell_length)
     # empty scan: return the input pose verbatim (ScanMatcher.h:68,189)
@@ -121,16 +122,18 @@ def match_pyramid(
         pts = scan.points * factor if level > 0 else scan.points
         iters = (cfg.match.iterations_finest if level == 0
                  else cfg.match.iterations_coarse)
-        # storage -> dense prob grid once per level (the TPU equivalent of
-        # GridMapCacheArray's per-epoch cache); the 4 gathers per beam in
-        # the GN loop then read probabilities with no per-gather sigmoid.
-        # Bitwise identical to converting after the gather, and under vmap
-        # (multi-hypothesis) this pose-independent conversion is traced
+        # storage -> dense quad-packed prob grid once per level: the TPU
+        # equivalent of GridMapCacheArray's per-epoch cache, plus the
+        # neighbor-quad layout so the GN loop fetches all 4 bilinear
+        # neighbors with ONE gather per beam (XLA TPU gather costs per
+        # query, not per element). Bitwise identical values; under vmap
+        # (multi-hypothesis) this pose-independent packing is traced
         # once, not per hypothesis.
-        grid_lvl = prob_grid(log_odds_pyramid[level], model)
+        lvl_shape = log_odds_pyramid[level].shape[-2:]
+        quad_lvl = quad_pack(prob_grid(log_odds_pyramid[level], model))
         pose, hess = match_level(
-            grid_lvl, pose, pts, scan.mask, iters,
+            quad_lvl, lvl_shape, pose, pts, scan.mask, iters,
             mcfg.top_left_offset, mcfg.level_scale(level),
-            mcfg.level_resolution(level), beam_axis, "prob",
+            mcfg.level_resolution(level), beam_axis,
         )
     return MatchResult(pose=pose, hessian=hess)

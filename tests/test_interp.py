@@ -98,3 +98,27 @@ def test_hessian_mask_equals_dropping_points():
                               jnp.ones(40, bool))
     np.testing.assert_allclose(np.asarray(H_a), np.asarray(H_b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), atol=1e-5)
+
+
+def test_quad_path_bitwise_equal_to_four_gathers():
+    """interp_quad over a quad-packed grid must be bit-identical to the
+    4-gather path (same f32 values, same math)."""
+    from hector_slam_tpu.core.interp import (hessian_derivs_quad,
+                                             interp_quad, quad_pack_storage)
+    rng = np.random.default_rng(7)
+    lo = jnp.asarray(rng.normal(0, 1.5, (48, 40)), jnp.float32)
+    coords = jnp.asarray(
+        np.stack([rng.uniform(-2, 42, 300), rng.uniform(-2, 50, 300)], -1),
+        jnp.float32)
+    want = np.stack(interp_with_derivatives(lo, coords))
+    quad = quad_pack_storage(lo, "log_odds")
+    got = np.stack(interp_quad(quad, lo.shape, coords))
+    np.testing.assert_array_equal(got, want)
+
+    pose = jnp.asarray([20.0, 18.0, 0.3], jnp.float32)
+    pts = jnp.asarray(rng.uniform(-15, 15, (64, 2)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=64) > 0.2)
+    H_a, d_a = hessian_derivs(lo, pose, pts, mask)
+    H_b, d_b = hessian_derivs_quad(quad, lo.shape, pose, pts, mask)
+    np.testing.assert_array_equal(np.asarray(H_a), np.asarray(H_b))
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))

@@ -5,7 +5,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from hector_slam_tpu.config import MapConfig, SlamConfig
+from hector_slam_tpu.core.interp import quad_pack_storage
 from hector_slam_tpu.core.matcher import gn_step, match_level, match_pyramid
+
+
+def _quad(lo):
+    arr = jnp.asarray(lo)
+    return quad_pack_storage(arr, "log_odds"), arr.shape
 from hector_slam_tpu.ops.solve3 import solve3, det3
 from hector_slam_tpu.oracle import oracle_np as on
 from hector_slam_tpu.types import Scan
@@ -59,7 +65,7 @@ def test_gn_step_matches_oracle():
     est_map = m.world_to_map_pose(pose_true + np.array([0.08, -0.05, 0.04],
                                                        np.float32))
     want_est, want_H = on.gn_step(m, est_map, pts)
-    got_est, got_H = gn_step(jnp.asarray(m.log_odds), jnp.asarray(est_map),
+    got_est, got_H = gn_step(*_quad(m.log_odds), jnp.asarray(est_map),
                              jnp.asarray(pts), jnp.ones(len(pts), bool))
     np.testing.assert_allclose(np.asarray(got_H), want_H, rtol=5e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(got_est), want_est, rtol=1e-4,
@@ -73,7 +79,7 @@ def test_gn_guard_zero_hessian():
     est = jnp.asarray([16.0, 16.0, 0.0], jnp.float32)
     pts = jnp.asarray(np.random.default_rng(0).uniform(-5, 5, (20, 2)),
                       jnp.float32)
-    new_est, H = gn_step(lo, est, pts, jnp.ones(20, bool))
+    new_est, H = gn_step(*_quad(lo), est, pts, jnp.ones(20, bool))
     np.testing.assert_array_equal(np.asarray(new_est), np.asarray(est))
     assert np.isfinite(np.asarray(new_est)).all()
     assert (np.asarray(H) == 0.0).all()
@@ -91,7 +97,7 @@ def test_dtheta_clamp():
     # a large angular offset start
     est_map = m.world_to_map_pose(np.array([0.0, 0.0, 0.8], np.float32))
     want_est, _ = on.gn_step(m, est_map, pts)
-    got_est, _ = gn_step(jnp.asarray(m.log_odds), jnp.asarray(est_map),
+    got_est, _ = gn_step(*_quad(m.log_odds), jnp.asarray(est_map),
                          jnp.asarray(pts), jnp.ones(len(pts), bool))
     np.testing.assert_allclose(np.asarray(got_est), want_est, atol=2e-3)
 
@@ -103,7 +109,7 @@ def test_match_level_matches_oracle():
     begin_world = pose_true + np.array([0.06, 0.04, -0.05], np.float32)
     want_pose, want_H = on.match_data(m, begin_world, pts, 5)
     got_pose, got_H = match_level(
-        jnp.asarray(m.log_odds), jnp.asarray(begin_world), jnp.asarray(pts),
+        *_quad(m.log_odds), jnp.asarray(begin_world), jnp.asarray(pts),
         jnp.ones(len(pts), bool), 5, off, 10.0, 0.1)
     np.testing.assert_allclose(np.asarray(got_pose), want_pose, atol=5e-4)
     np.testing.assert_allclose(np.asarray(got_H), want_H, rtol=2e-3, atol=5e-2)
@@ -115,7 +121,7 @@ def test_match_level_matches_oracle():
 def test_match_level_empty_scan_returns_input():
     lo = jnp.zeros((32, 32), jnp.float32)
     begin = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
-    pose, H = match_level(lo, begin, jnp.zeros((16, 2), jnp.float32),
+    pose, H = match_level(*_quad(lo), begin, jnp.zeros((16, 2), jnp.float32),
                           jnp.zeros(16, bool), 5, (1.6, 1.6), 10.0, 0.1)
     np.testing.assert_array_equal(np.asarray(pose), np.asarray(begin))
     assert (np.asarray(H) == 0.0).all()
