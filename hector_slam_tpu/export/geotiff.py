@@ -44,6 +44,33 @@ FREE = (255, 255, 255)
 OCCUPIED = (0, 40, 120)
 EXPLORED_GRID = (190, 190, 191)
 PATH_COLOR = (120, 0, 240)  # trajectory plugin default
+ARROW_COLOR = (255, 200, 0)  # path start arrow (drawArrow :673-685)
+COORDS_COLOR = (0, 50, 140)  # scale bar / axis arrows (drawCoords :627)
+
+SHAPE_CIRCLE = "circle"
+SHAPE_DIAMOND = "diamond"
+
+# minimal 5x7 bitmap font for the coordinate/object labels (replaces Qt's
+# text rendering in drawCoords/drawObjectOfInterest). Rows are 5-bit
+# bitmasks, MSB = leftmost pixel.
+_GLYPHS = {
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    "m": (0x00, 0x00, 0x1A, 0x15, 0x15, 0x15, 0x15),
+    "x": (0x00, 0x00, 0x11, 0x0A, 0x04, 0x0A, 0x11),
+    "y": (0x00, 0x00, 0x11, 0x11, 0x0F, 0x01, 0x0E),
+    ".": (0x00, 0x00, 0x00, 0x00, 0x00, 0x0C, 0x0C),
+    "-": (0x00, 0x00, 0x00, 0x1F, 0x00, 0x00, 0x00),
+    " ": (0, 0, 0, 0, 0, 0, 0),
+}
 
 
 @dataclasses.dataclass
@@ -145,46 +172,67 @@ class GeotiffExporter:
                 color = CHECKER_A if (tx + ty) % 2 == 0 else CHECKER_B
                 self._fill_geo_rect(tx * m, ty * m, m, m, color)
 
+    def _pixel_cells(self, origin_geo: float, n_cells: int, axis_max: int
+                     ) -> Tuple[int, int, np.ndarray]:
+        """Maps image pixels along one axis to map-cell indices with the
+        same per-cell-edge rounding as _fill_geo_rect. Returns
+        (px_lo, px_hi, cell index per pixel in [px_lo, px_hi))."""
+        rf = self.RESOLUTION_FACTOR
+        # cell i spans geo [origin + i*rf, origin + (i+1)*rf) -> image
+        # pixels [round(axis_max - origin - (i+1)*rf), round(... - i*rf))
+        edges = np.round(axis_max - origin_geo
+                         - np.arange(n_cells + 1) * rf).astype(int)
+        edges = np.clip(edges, 0, axis_max)       # decreasing in i
+        px_lo, px_hi = int(edges[-1]), int(edges[0])
+        counts = edges[:-1] - edges[1:]           # pixels per cell
+        cells = np.repeat(np.arange(n_cells)[::-1], counts[::-1])
+        return px_lo, px_hi, cells
+
     def draw_map(self, draw_explored_grid: bool = True) -> None:
+        """Free/occupied cells + 0.5 m explored-space grid
+        (drawMap, geotiff_writer.cpp:322-415), vectorized."""
         rf = self.RESOLUTION_FACTOR
         sub = self.grid[self.min_coords[1]:self.max_coords[1],
                         self.min_coords[0]:self.max_coords[0]]
         grid_px = self.ppgm * F32(0.5)   # explored grid every 0.5 m
         oy, ox = float(self.map_orig_geo[1]), float(self.map_orig_geo[0])
-        for yy in range(sub.shape[0]):
-            for xx in range(sub.shape[1]):
-                v = sub[yy, xx]
-                if v == 0:
-                    self._fill_geo_rect(ox + xx * rf, oy + yy * rf, rf, rf,
-                                        FREE)
-                elif v == 100:
-                    self._fill_geo_rect(ox + xx * rf, oy + yy * rf, rf, rf,
-                                        OCCUPIED)
+
+        # image rows follow the map-x axis, columns the map-y axis (the
+        # painter is rotated -90; transformPainterToImgCoords :620-625)
+        r_lo, r_hi, row_xx = self._pixel_cells(ox, sub.shape[1], self.x_max)
+        c_lo, c_hi, col_yy = self._pixel_cells(oy, sub.shape[0], self.y_max)
+        if r_hi <= r_lo or c_hi <= c_lo:
+            return
+        vals = sub[np.ix_(col_yy, row_xx)].T      # [rows, cols]
+        region = self.image[r_lo:r_hi, c_lo:c_hi]
+        region[vals == 0] = FREE
+        region[vals == 100] = OCCUPIED
+
         if draw_explored_grid:
-            # grid lines across explored (free) cells every 0.5 m
+            # 1-px grid lines across explored (free) cells every 0.5 m
             free = sub == 0
             for gy in np.arange(0.0, sub.shape[0] * rf, grid_px):
-                row_cells = free[int(gy // rf)] if int(gy // rf) < \
-                    sub.shape[0] else None
-                if row_cells is None:
+                yy = int(gy // rf)
+                c = int(np.round(self.y_max - oy - gy)) - 1
+                if yy >= sub.shape[0] or not (c_lo <= c < c_hi):
                     continue
-                for xx in range(sub.shape[1]):
-                    if row_cells[xx]:
-                        self._fill_geo_rect(ox + xx * rf, oy + gy, rf, 1.0,
-                                            EXPLORED_GRID)
+                rows = np.nonzero(free[yy][row_xx])[0]
+                self.image[r_lo + rows, c] = EXPLORED_GRID
             for gx in np.arange(0.0, sub.shape[1] * rf, grid_px):
-                col_cells = free[:, int(gx // rf)] if int(gx // rf) < \
-                    sub.shape[1] else None
-                if col_cells is None:
+                xx = int(gx // rf)
+                r = int(np.round(self.x_max - ox - gx)) - 1
+                if xx >= sub.shape[1] or not (r_lo <= r < r_hi):
                     continue
-                for yy in range(sub.shape[0]):
-                    if col_cells[yy]:
-                        self._fill_geo_rect(ox + gx, oy + yy * rf, 1.0, rf,
-                                            EXPLORED_GRID)
+                cols = np.nonzero(free[:, xx][col_yy])[0]
+                self.image[r, c_lo + cols] = EXPLORED_GRID
 
     def draw_path(self, path_world: np.ndarray,
-                  color=PATH_COLOR, width: int = 3) -> None:
-        """Polyline through world-frame points (drawPath :481-522)."""
+                  color=PATH_COLOR, width: int = 3,
+                  start_yaw: Optional[float] = None) -> None:
+        """Polyline through world-frame points plus a start arrow
+        (drawPath :481-522, drawArrow :673-685). ``start_yaw`` defaults
+        to the third column of the first point when the path rows carry
+        (x, y, theta)."""
         pts = np.asarray(path_world, np.float32)
         if len(pts) == 0:
             return
@@ -192,6 +240,116 @@ class GeotiffExporter:
         img_pts = [self._geo_to_img(g[0], g[1]) for g in geo]
         for a, b in zip(img_pts[:-1], img_pts[1:]):
             self._draw_line(a, b, color, width)
+        if start_yaw is None and pts.shape[1] >= 3:
+            start_yaw = float(pts[0, 2])
+        self._draw_start_arrow(geo[0], 0.0 if start_yaw is None
+                               else float(start_yaw))
+
+    def _fill_polygon_geo(self, verts_geo: np.ndarray, color) -> None:
+        """Filled polygon given geo-coord vertices (small shapes only)."""
+        img = np.stack([self._geo_to_img(v[0], v[1]) for v in verts_geo])
+        r0 = max(int(np.floor(img[:, 0].min())), 0)
+        r1 = min(int(np.ceil(img[:, 0].max())) + 1, self.x_max)
+        c0 = max(int(np.floor(img[:, 1].min())), 0)
+        c1 = min(int(np.ceil(img[:, 1].max())) + 1, self.y_max)
+        if r1 <= r0 or c1 <= c0:
+            return
+        rr, cc = np.mgrid[r0:r1, c0:c1]
+        inside = np.zeros(rr.shape, bool)
+        n = len(img)
+        # even-odd rule point-in-polygon over the pixel centers
+        for i in range(n):
+            ra, ca = img[i]
+            rb, cb = img[(i + 1) % n]
+            cond = ((ra > rr) != (rb > rr)) & (
+                cc < (cb - ca) * (rr - ra) / (rb - ra + 1e-12) + ca)
+            inside ^= cond
+        self.image[r0:r1, c0:c1][inside] = color
+
+    def _draw_start_arrow(self, start_geo: np.ndarray, yaw: float) -> None:
+        """Yellow heading arrow at the trajectory start
+        (drawArrow :673-685: tip 0.3 geotiff-meters, barbs at
+        (-0.15, +-0.15))."""
+        tip = float(self.ppgm) * 0.3
+        local = np.asarray([[tip, 0.0], [-0.5 * tip, -0.5 * tip],
+                            [0.0, 0.0], [-0.5 * tip, 0.5 * tip]], np.float32)
+        c, s = np.cos(yaw), np.sin(yaw)
+        rot = np.asarray([[c, -s], [s, c]], np.float32)
+        verts = start_geo[None, :] + local @ rot.T
+        self._fill_polygon_geo(verts, ARROW_COLOR)
+
+    def draw_object_of_interest(self, world_xy, txt: str = "",
+                                color=(240, 10, 10),
+                                shape: str = SHAPE_CIRCLE) -> None:
+        """Filled circle/diamond + centered white label at a world point
+        (drawObjectOfInterest :417-479; radius 0.175 geotiff-meters)."""
+        geo = self.world_geo.inv(np.asarray(world_xy, np.float32)[:2])
+        radius = float(self.ppgm) * 0.175
+        if shape == SHAPE_CIRCLE:
+            ang = np.linspace(0.0, 2.0 * np.pi, 24, endpoint=False)
+            verts = geo[None, :] + radius * np.stack(
+                [np.cos(ang), np.sin(ang)], -1)
+        elif shape == SHAPE_DIAMOND:
+            verts = geo[None, :] + radius * np.asarray(
+                [[1.4, 0.0], [0.0, 1.4], [-1.4, 0.0], [0.0, -1.4]],
+                np.float32)
+        else:
+            raise ValueError(f"unknown shape {shape!r}")
+        self._fill_polygon_geo(verts, color)
+        if txt:
+            r, c = self._geo_to_img(geo[0], geo[1])
+            self._draw_text(txt, int(r), int(c), (255, 255, 255),
+                            center=True)
+
+    def _draw_text(self, txt: str, row: int, col: int, color,
+                   scale: int = 1, center: bool = False) -> None:
+        """5x7 bitmap-font labels (replaces Qt text in drawCoords /
+        drawObjectOfInterest; unsupported characters are skipped)."""
+        glyphs = [_GLYPHS[ch] for ch in txt.lower() if ch in _GLYPHS]
+        w = len(glyphs) * 6 * scale
+        if center:
+            row -= (7 * scale) // 2
+            col -= w // 2
+        for g in glyphs:
+            for gy, bits in enumerate(g):
+                for gx in range(5):
+                    if bits & (0x10 >> gx):
+                        r0 = row + gy * scale
+                        c0 = col + gx * scale
+                        if 0 <= r0 < self.x_max - scale and \
+                                0 <= c0 < self.y_max - scale:
+                            self.image[r0:r0 + scale, c0:c0 + scale] = color
+            col += 6 * scale
+
+    def draw_coords(self) -> None:
+        """Scale bar + map-orientation arrows + labels in the top-left
+        corner (drawCoords, geotiff_writer.cpp:627-658). Image-frame
+        drawing (the reference paints these without the rotated
+        transform)."""
+        m = float(self.ppgm)
+        a = m * 0.15  # arrowOffset
+        col = np.asarray(COORDS_COLOR, np.uint8)
+
+        def line(r0, c0, r1, c1):
+            self._draw_line((r0, c0), (r1, c1), col, 1)
+
+        # 1 m scale bar with end ticks (drawn in raw image coords: the
+        # reference uses an unrotated painter here, x -> col, y -> row)
+        line(m, m / 2, 2.0 * m, m / 2)
+        line(m - 1, m * 2 / 5, m - 1, m * 3 / 5)
+        line(2 * m, m * 2 / 5, 2 * m, m * 3 / 5)
+        # horizontal axis with arrow tip at (col m, row 2m)
+        line(2 * m, m, 2 * m, 2 * m)
+        line(2 * m, m, 2 * m - a, m + a)
+        line(2 * m, m, 2 * m + a, m + a)
+        # vertical axis with arrow tip at (col 2m, row m)
+        line(m, 2 * m, 2 * m, 2 * m)
+        line(m, 2 * m, m + a, 2 * m + a)
+        line(m, 2 * m, m + a, 2 * m - a)
+        s = max(1, int(m) // 24)
+        self._draw_text("1m", int(1.6 * m), int(0.6 * m), col, scale=s)
+        self._draw_text("x", int(1.1 * m), int(2.2 * m), col, scale=s)
+        self._draw_text("y", int(1.8 * m), int(1.2 * m), col, scale=s)
 
     def _draw_line(self, a, b, color, width) -> None:
         (r0, c0), (r1, c1) = a, b
@@ -234,10 +392,20 @@ class GeotiffExporter:
 
 def write_geotiff(occ_grid, meta: GridMeta, base_path: str,
                   path_world: Optional[np.ndarray] = None,
-                  draw_explored_grid: bool = True) -> Tuple[str, str]:
-    """One-call export: map (+ optional trajectory) -> .png + .tfw."""
+                  draw_explored_grid: bool = True,
+                  draw_coords: bool = True,
+                  objects: Sequence = ()) -> Tuple[str, str]:
+    """One-call export: map (+ optional trajectory, coordinate overlay,
+    objects of interest) -> .png + .tfw. ``objects`` entries are
+    (world_xy, txt) or (world_xy, txt, color) or
+    (world_xy, txt, color, shape) tuples (the MapWriterInterface
+    drawObjectOfInterest plugin hook, map_writer_interface.h:42-59)."""
     exp = GeotiffExporter(occ_grid, meta)
     exp.draw_map(draw_explored_grid)
+    if draw_coords:
+        exp.draw_coords()
     if path_world is not None and len(path_world):
         exp.draw_path(path_world)
+    for obj in objects:
+        exp.draw_object_of_interest(*obj)
     return exp.write(base_path)

@@ -101,6 +101,43 @@ def get_distance_to_obstacle(occ_grid: np.ndarray, meta: GridMeta,
     return dist / cos_angle
 
 
+def get_normal(occ_grid: np.ndarray, meta: GridMeta, robot_world,
+               point_world, window_m: float = 0.4
+               ) -> Optional[np.ndarray]:
+    """Estimated obstacle surface normal at the raycast hit toward
+    ``point_world`` — the hector_nav_msgs/GetNormal service surface
+    (hector_nav_msgs/srv/GetNormal.srv; the reference declares the
+    service type but ships no server, so the estimator is ours: PCA over
+    the occupied cells in a ``window_m`` neighborhood of the hit, normal
+    = the minor eigenvector, oriented back toward the robot).
+
+    Returns a unit (nx, ny) or None when the ray hits nothing."""
+    dist, hit_world = distance_to_obstacle(occ_grid, meta, robot_world,
+                                           np.asarray(point_world)[:2])
+    if hit_world is None:
+        return None
+    g = np.asarray(occ_grid)
+    hc = meta.world_to_map(hit_world).astype(int)
+    r = max(1, int(round(window_m / meta.resolution)))
+    y0, y1 = max(hc[1] - r, 0), min(hc[1] + r + 1, g.shape[0])
+    x0, x1 = max(hc[0] - r, 0), min(hc[0] + r + 1, g.shape[1])
+    ys, xs = np.nonzero(g[y0:y1, x0:x1] == 100)
+    if len(xs) < 2:
+        # isolated hit: fall back to the reversed ray direction
+        d = np.asarray(robot_world, np.float64)[:2] - hit_world
+        n = np.linalg.norm(d)
+        return (d / n).astype(np.float32) if n > 0 else None
+    pts = np.stack([xs + x0, ys + y0], -1).astype(np.float64)
+    centered = pts - pts.mean(axis=0)
+    cov = centered.T @ centered / len(pts)
+    evals, evecs = np.linalg.eigh(cov)
+    normal = evecs[:, 0]                    # minor axis of the wall strip
+    to_robot = np.asarray(robot_world, np.float64)[:2] - hit_world
+    if np.dot(normal, to_robot) < 0:
+        normal = -normal
+    return (normal / np.linalg.norm(normal)).astype(np.float32)
+
+
 def get_search_position(ooi_pose, distance: float) -> np.ndarray:
     """Offset the object-of-interest pose backwards along its heading by
     ``distance`` (hector_map_server.cpp:184-189)."""

@@ -94,11 +94,21 @@ class SlamSession:
 
     def process_points(self, points_base, stamp: float = 0.0,
                        pose_hint=None, origo=(0.0, 0.0),
-                       z_min: float = -1.0, z_max: float = 1.0
+                       z_min: float = -1.0, z_max: float = 1.0,
+                       min_dist: float = 0.4, max_dist: float = 30.0
                        ) -> Optional[np.ndarray]:
-        """Cartesian point path (rosPointCloudToDataContainer) with the
-        z-band filter for 3D input (HectorMappingRos.cpp:534-539)."""
+        """Cartesian point path (rosPointCloudToDataContainer,
+        HectorMappingRos.cpp:509-542) with the reference's three filters:
+        squared-range window (laser_min_dist/laser_max_dist params,
+        :96-102,526), the behind-robot cull (skip x<0 points closer than
+        sqrt(0.5) m — the robot's own body, :528-530), and the z-band for
+        3D input (laser_z_min/max_value, :534-539)."""
         pts = np.asarray(points_base, np.float32)
+        dist_sqr = pts[:, 0] ** 2 + pts[:, 1] ** 2
+        keep = (dist_sqr > np.float32(min_dist) ** 2) \
+            & (dist_sqr < np.float32(max_dist) ** 2) \
+            & ~((pts[:, 0] < 0.0) & (dist_sqr < np.float32(0.5)))
+        pts = pts[keep]
         if pts.shape[1] == 3:
             keep = (pts[:, 2] > z_min) & (pts[:, 2] < z_max)
             pts = pts[keep, :2]

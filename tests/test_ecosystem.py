@@ -272,3 +272,67 @@ def test_attitude_fusion():
     qf = fuse_pose_and_attitude([0.0, 0.0, 0.77], q)
     rf, pf, yf = quaternion_to_rpy(qf)
     np.testing.assert_allclose([rf, pf, yf], [0.1, -0.2, 0.77], atol=1e-9)
+
+
+def test_geotiff_decorations(tmp_path, mapped_state):
+    """Start arrow, coordinate overlay, objects of interest render without
+    disturbing the georeference (geotiff_writer.cpp:417-479,627-685)."""
+    from hector_slam_tpu.export.geotiff import (ARROW_COLOR, COORDS_COLOR,
+                                                SHAPE_DIAMOND)
+    state, poses = mapped_state
+    occ = to_occupancy_grid(state.log_odds[0])
+    meta = grid_meta(CFG.map)
+    exp = GeotiffExporter(occ, meta)
+    exp.draw_map()
+    before = exp.image.copy()
+    exp.draw_coords()
+    assert (exp.image == np.asarray(COORDS_COLOR, np.uint8)).all(-1).any()
+    path3 = np.concatenate(
+        [poses, np.full((len(poses), 1), 0.7, np.float32)], axis=1)
+    exp.draw_path(path3)
+    assert (exp.image == np.asarray(ARROW_COLOR, np.uint8)).all(-1).any()
+    exp.draw_object_of_interest(poses[0], "1", color=(240, 10, 10))
+    exp.draw_object_of_interest(poses[-1], "25", color=(10, 240, 10),
+                                shape=SHAPE_DIAMOND)
+    assert (exp.image == np.asarray((240, 10, 10), np.uint8)).all(-1).any()
+    assert (exp.image == np.asarray((10, 240, 10), np.uint8)).all(-1).any()
+    assert exp.image.shape == before.shape
+    png, tfw = write_geotiff(occ, meta, str(tmp_path / "deco"),
+                             path_world=path3,
+                             objects=[(poses[0], "1")])
+    assert os.path.exists(png) and os.path.exists(tfw)
+
+
+def test_get_normal():
+    """Normal at a raycast hit on a straight wall points back at the
+    robot, perpendicular to the wall."""
+    from hector_slam_tpu.query.raycast import get_normal
+    g = np.zeros((100, 100), np.int8)
+    g[:, 60] = 100  # vertical wall at map x=60
+    meta = grid_meta(MapConfig(resolution=0.1, size_x=100, size_y=100))
+    robot = np.asarray([-1.0, 0.0])  # map x=40 (origin at center)
+    n = get_normal(g, meta, robot, np.asarray([4.0, 0.0]))
+    assert n is not None
+    np.testing.assert_allclose(n, [-1.0, 0.0], atol=1e-6)
+    # no hit -> None
+    assert get_normal(np.zeros((100, 100), np.int8), meta, robot,
+                      np.asarray([4.0, 0.0])) is None
+
+
+def test_pointcloud_filters():
+    """process_points applies the squared-range window and the
+    behind-robot cull (HectorMappingRos.cpp:526-530)."""
+    from hector_slam_tpu.session import SlamSession
+    sess = SlamSession(CFG)
+    pts = np.asarray([
+        [2.0, 0.0],      # keep
+        [0.1, 0.0],      # too close (dist < 0.4)
+        [40.0, 0.0],     # too far (dist > 30)
+        [-0.5, 0.0],     # behind robot and closer than sqrt(0.5)
+        [-3.0, 0.0],     # behind robot but far enough -> keep
+    ], np.float32)
+    sess.process_points(pts, pose_hint=np.zeros(3, np.float32))
+    assert int(sess.state.step) == 1
+    # two beams survive the filters
+    occ = to_occupancy_grid(sess.state.log_odds[0])
+    assert (occ == 100).sum() == 2
