@@ -336,3 +336,27 @@ def test_pointcloud_filters():
     # two beams survive the filters
     occ = to_occupancy_grid(sess.state.log_odds[0])
     assert (occ == 100).sum() == 2
+
+
+def test_markers():
+    """Covariance ellipse + pose arrows (hector_marker_drawing parity:
+    HectorDrawings.h:84-141)."""
+    from hector_slam_tpu.export.markers import (arrow_marker,
+                                                covariance_ellipse,
+                                                pose_markers)
+    # diagonal cov: axes = sqrt eigenvalues, angle 0
+    half, ang, poly = covariance_ellipse(np.diag([4.0, 1.0]))
+    np.testing.assert_allclose(half, [2.0, 1.0], atol=1e-6)
+    assert abs(ang) < 1e-9 and poly.shape == (32, 2)
+    np.testing.assert_allclose(np.abs(poly[:, 0]).max(), 2.0, atol=1e-3)
+    # rotated cov: recover the 45-degree major axis
+    c, s = np.cos(0.785398), np.sin(0.785398)
+    R = np.asarray([[c, -s], [s, c]])
+    cov = R @ np.diag([4.0, 1.0]) @ R.T
+    half, ang, _ = covariance_ellipse(cov)
+    np.testing.assert_allclose(half, [2.0, 1.0], atol=1e-6)
+    assert abs(ang - 0.785398) < 1e-6
+    segs = arrow_marker([1.0, 2.0, 0.0], length=0.5)
+    assert segs.shape == (3, 4)
+    np.testing.assert_allclose(segs[0], [1.0, 2.0, 1.5, 2.0], atol=1e-6)
+    assert pose_markers(np.zeros((4, 3))).shape == (12, 4)
