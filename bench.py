@@ -2,10 +2,11 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The workload: 1024 perturbed start poses per batch, each running the full
+The workload: 4096 perturbed start poses per batch, each running the full
 3-level coarse-to-fine Gauss-Newton pyramid (6+4+4 = 14 GN iterations,
 1081-beam scans padded to 1152) against a 1024^2 @ 0.05 m map built from
-simulated UTM-30LX data. ``vs_baseline`` is the ratio to the reference's
+simulated UTM-30LX data, via the theta-bucketed one-hot MXU matcher
+(parallel/onehot_match.py; exact selection with quad-gather fallback). ``vs_baseline`` is the ratio to the reference's
 only published capability: sequential matching at the sensor's 40 Hz scan
 rate (hector_mapping/package.xml:7 — one scan-match per scan, 40/s).
 
@@ -36,7 +37,7 @@ def main() -> None:
     from hector_slam_tpu.io.scanlog import LaserModel, scan_from_ranges
     from hector_slam_tpu.io.simulator import (World, corridor_trajectory,
                                               simulate_trajectory)
-    from hector_slam_tpu.parallel.batch import match_hypotheses
+    from hector_slam_tpu.parallel.onehot_match import match_hypotheses_mxu
 
     cfg = BENCH_CONFIG
     laser = LaserModel()  # 1081-beam UTM-30LX
@@ -54,7 +55,7 @@ def main() -> None:
         state, _ = slam_step_jit(state, sc, cfg, pose_hint=jnp.asarray(p),
                                  map_without_matching=True)
 
-    B = 1024
+    B = 4096
     rng = np.random.default_rng(0)
     base = jnp.asarray(poses_true[-1], jnp.float32)
     scan = scans[-1]
@@ -65,7 +66,7 @@ def main() -> None:
         @jax.jit
         def chain(pyramid, sc):
             def body(carry, seed):
-                result = match_hypotheses(
+                result = match_hypotheses_mxu(
                     pyramid, base + seed + 0.0 * carry.sum(), sc, cfg)
                 return jnp.mean(result.pose, axis=0), ()
 

@@ -1,0 +1,290 @@
+"""MXU-based batched scan matching: one-hot patch selection instead of
+per-query gathers.
+
+Why: XLA's TPU gather costs ~5 scalar-core cycles per query, capping the
+quad-gather matcher (parallel/batch.py) at ~11.6k full pyramid matches/s
+per chip. But bilinear interpolation is a *selection* — a contraction of
+map patches against one-hot row/column vectors — and contractions run on
+the MXU. The design is shaped by two measured costs:
+
+  - sliced gathers (patch fetches) cost ~1.3 us of DMA latency per slice
+    regardless of size -> patches must be shared: one patch serves a
+    GROUP of 8 adjacent beams (adjacent UTM-30LX beams land ~1-2 cells
+    apart) x a BUCKET of theta-sorted hypotheses (theta drives per-beam
+    spread: a d-theta range sweeps d-theta * beam-radius cells);
+  - one-hot contraction flops are nearly free next to the patch DMA and
+    one-hot materialization traffic, so patches are generous (64 x 128)
+    to keep the fast path applicable.
+
+Per pyramid level, per GN iteration:
+  1. sort hypotheses by theta, split into G buckets of S;
+  2. per (bucket, beam-group): patch base = min cell over the bucket's
+     hypotheses and the group's beams, clipped; fetch a [64, 128] patch;
+  3. one-hot select the four bilinear neighbors with two MXU einsums per
+     bucket (column selection) + four tiny row contractions;
+  4. the usual quirk-gradient bilinear math + per-hypothesis JtJ/JtR.
+
+Exactness: the contractions use ``precision=HIGH`` (bf16x3). The bf16x3
+splitting represents every f32 exactly, and each one-hot output element
+has exactly one nonzero product, so selected values are bit-identical to
+a gather. The bilinear/Jacobian math is the same f32 ops as
+core/interp.py. If any (bucket, group) spread exceeds the patch (wide or
+multi-modal hypothesis sets, diverged GN iterates), the whole iteration
+falls back to the exact quad-gather path via ``lax.cond`` — only the
+cheap extent check runs unconditionally, so arbitrary inputs stay
+correct and pay ~nothing extra.
+
+Reference numerics replicated are those of core/interp.py /
+core/matcher.py (OccGridMapUtil.h:287-347, ScanMatcher.h:54-226);
+this module only changes how the four neighbors are fetched.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..types import MatchResult, Scan
+from ..ops.solve3 import solve3
+from ..core.cell_models import prob_grid
+from ..core.grid import (map_to_world_pose, normalize_angle,
+                         world_to_map_pose)
+from ..core.interp import hessian_derivs_quad, quad_pack
+
+PATCH_H = 64   # max patch rows (clamped to the level's grid height)
+PATCH_W = 256  # max patch cols (wide: grazing-incidence wall hits make
+               # adjacent beams' endpoints slide far along the wall)
+GROUP = 8      # adjacent beams sharing one patch
+_F1 = np.float32(1.0)
+_CLAMP = np.float32(0.2)
+# bf16x3: splits each f32 operand exactly; with one nonzero product per
+# output element the one-hot selection is bit-exact
+_EXACT = jax.lax.Precision.HIGH
+
+
+def _transform(poses_map: jnp.ndarray, points: jnp.ndarray):
+    """Map-frame query coords tx, ty [B, N] for poses [B,3]."""
+    s = jnp.sin(poses_map[:, 2])[:, None]
+    c = jnp.cos(poses_map[:, 2])[:, None]
+    px = points[None, :, 0]
+    py = points[None, :, 1]
+    tx = c * px - s * py + poses_map[:, 0:1]
+    ty = s * px + c * py + poses_map[:, 1:2]
+    return tx, ty
+
+
+def _patch_dims(grid_shape):
+    h, w = grid_shape
+    return min(PATCH_H, h), min(PATCH_W, w)
+
+
+def _cells_and_extents(grid_shape, poses_map, points, mask, num_buckets):
+    """Shared prologue: sorted poses, per-query cells/fracs, per-
+    (bucket, beam-group) patch bases, and the fast-path validity bit.
+    Masked (padded) beams neither constrain the patch bases nor the
+    validity check — their interp results are zeroed downstream."""
+    h, w = grid_shape
+    b_total = poses_map.shape[0]
+    s_per = b_total // num_buckets
+    n = points.shape[0]
+    ng = n // GROUP
+
+    order = jnp.argsort(poses_map[:, 2])
+    pm = poses_map[order]
+    tx, ty = _transform(pm, points)                  # [B, N]
+
+    in_bounds = ((tx >= 0.0) & (tx <= jnp.float32(w - 2))
+                 & (ty >= 0.0) & (ty <= jnp.float32(h - 2)))
+    xi = jnp.clip(tx.astype(jnp.int32), 0, w - 2)
+    yi = jnp.clip(ty.astype(jnp.int32), 0, h - 2)
+    fx = tx - xi.astype(jnp.float32)
+    fy = ty - yi.astype(jnp.float32)
+
+    # bucket/group views [G, S, NG, GROUP]; masked beams -> sentinel so
+    # they don't drag the patch base (min) toward the scan origin
+    xi_m = jnp.where(mask[None, :], xi, w - 2)
+    yi_m = jnp.where(mask[None, :], yi, h - 2)
+    ph, pw = _patch_dims(grid_shape)
+    xi_b = xi_m.reshape(num_buckets, s_per, ng, GROUP)
+    yi_b = yi_m.reshape(num_buckets, s_per, ng, GROUP)
+    x0 = jnp.clip(jnp.min(xi_b, axis=(1, 3)), 0, w - pw)   # [G, NG]
+    y0 = jnp.clip(jnp.min(yi_b, axis=(1, 3)), 0, h - ph)
+    cx = xi_b - x0[:, None, :, None]
+    ry = yi_b - y0[:, None, :, None]
+    fits = (cx <= pw - 2) & (ry <= ph - 2)
+    ok = jnp.all(fits | ~mask.reshape(ng, GROUP)[None, None])
+    return order, pm, in_bounds, fx, fy, cx, ry, x0, y0, ok
+
+
+def _normal_eqs_fast(grid, shape, order, pm, in_bounds, fx, fy, cx, ry,
+                     x0, y0, points, mask, num_buckets):
+    """(H [B,3,3], dTr [B,3]) via the bucketed one-hot selection."""
+    b_total = pm.shape[0]
+    s_per = b_total // num_buckets
+    n = points.shape[0]
+    ng = n // GROUP
+
+    sin_b = jnp.sin(pm[:, 2]).reshape(num_buckets, s_per)
+    cos_b = jnp.cos(pm[:, 2]).reshape(num_buckets, s_per)
+    fx_b = fx.reshape(num_buckets, s_per, n)
+    fy_b = fy.reshape(num_buckets, s_per, n)
+    inb_b = in_bounds.reshape(num_buckets, s_per, n)
+    px = points[:, 0]
+    py = points[:, 1]
+    mask_n = mask[:, None]
+
+    ph, pw = _patch_dims(shape)
+    r_iota = jnp.arange(ph, dtype=jnp.int32)
+    c_iota = jnp.arange(pw, dtype=jnp.int32)
+
+    def one_bucket(g):
+        idx = jnp.stack([y0[g], x0[g]], -1)
+        patches = jax.lax.gather(
+            grid, idx,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0, 1)),
+            slice_sizes=(ph, pw),
+            mode=jax.lax.GatherScatterMode.CLIP)     # [NG, ph, pw]
+        patches_r = jnp.roll(patches, -1, axis=2)    # col c -> c+1
+
+        # queries of this bucket: [S, NG, GROUP] -> [NG, GROUP*S]
+        cx_g = jnp.transpose(cx[g], (1, 2, 0)).reshape(ng, GROUP * s_per)
+        ry_g = jnp.transpose(ry[g], (1, 2, 0)).reshape(ng, GROUP * s_per)
+
+        oc = (cx_g[..., None] == c_iota).astype(jnp.float32)
+        v00 = jnp.einsum("prc,pqc->pqr", patches, oc,
+                         precision=_EXACT)           # [NG, 8S, ph]
+        v01 = jnp.einsum("prc,pqc->pqr", patches_r, oc, precision=_EXACT)
+        or0 = (ry_g[..., None] == r_iota).astype(jnp.float32)
+        or1 = (ry_g[..., None] + 1 == r_iota).astype(jnp.float32)
+        p00 = jnp.einsum("pqr,pqr->pq", v00, or0, precision=_EXACT)
+        p10 = jnp.einsum("pqr,pqr->pq", v01, or0, precision=_EXACT)
+        p01 = jnp.einsum("pqr,pqr->pq", v00, or1, precision=_EXACT)
+        p11 = jnp.einsum("pqr,pqr->pq", v01, or1, precision=_EXACT)
+
+        def unpack(a):  # [NG, GROUP*S] -> [N, S]
+            return a.reshape(ng, GROUP, s_per).reshape(n, s_per)
+        p00, p10, p01, p11 = map(unpack, (p00, p10, p01, p11))
+
+        fx_g = fx_b[g].T                             # [N, S]
+        fy_g = fy_b[g].T
+        inb = inb_b[g].T
+        xfi = _F1 - fx_g
+        yfi = _F1 - fy_g
+        value = (p00 * xfi + p10 * fx_g) * yfi \
+            + (p01 * xfi + p11 * fx_g) * fy_g
+        grad_x = -(((p00 - p10) * xfi) + ((p01 - p11) * fx_g))
+        grad_y = -(((p00 - p01) * yfi) + ((p10 - p11) * fy_g))
+        zero = jnp.float32(0.0)
+        valid = inb & mask_n
+        m = jnp.where(valid, value, zero)
+        gx = jnp.where(valid, grad_x, zero)
+        gy = jnp.where(valid, grad_y, zero)
+
+        s_g = sin_b[g][None, :]
+        c_g = cos_b[g][None, :]
+        rot = (-s_g * px[:, None] - c_g * py[:, None]) * gx \
+            + (c_g * px[:, None] - s_g * py[:, None]) * gy
+        rot = jnp.where(valid, rot, zero)
+        jac = jnp.stack([gx, gy, rot], axis=-1)      # [N, S, 3]
+        hess = jnp.einsum("nsj,nsk->sjk", jac, jac,
+                          preferred_element_type=jnp.float32)
+        dtr = jnp.einsum("nsj,ns->sj", jac, _F1 - m,
+                         preferred_element_type=jnp.float32)
+        return hess, dtr
+
+    hs, ds = jax.lax.map(one_bucket, jnp.arange(num_buckets))
+    hess = hs.reshape(b_total, 3, 3)
+    dtr = ds.reshape(b_total, 3)
+    inv = jnp.argsort(order)
+    return hess[inv], dtr[inv]
+
+
+def gn_step_batch(grid, quad, shape, estimates_map, points, mask,
+                  num_buckets):
+    """One batched GN step: bucketed-MXU normal equations with exact
+    quad-gather fallback, then the guarded/clamped solve per hypothesis
+    (ScanMatcher.h:194-226 semantics, vectorized). Only the cheap extent
+    check runs unconditionally; lax.cond executes exactly one of the two
+    heavy paths at runtime."""
+    (order, pm, in_bounds, fx, fy, cx, ry, x0, y0, ok) = \
+        _cells_and_extents(shape, estimates_map, points, mask, num_buckets)
+
+    def use_fast(_):
+        return _normal_eqs_fast(grid, shape, order, pm, in_bounds, fx, fy,
+                                cx, ry, x0, y0, points, mask, num_buckets)
+
+    def use_slow(_):
+        f = jax.vmap(lambda p: hessian_derivs_quad(quad, shape, p, points,
+                                                   mask))
+        return f(estimates_map)
+
+    hess, dtr = jax.lax.cond(ok, use_fast, use_slow, None)
+
+    guard = (hess[:, 0, 0] != 0.0) & (hess[:, 1, 1] != 0.0)
+    safe_h = jnp.where(guard[:, None, None], hess,
+                       jnp.eye(3, dtype=jnp.float32)[None])
+    search = jax.vmap(solve3)(safe_h, dtr)
+    d_theta = jnp.clip(search[:, 2], -_CLAMP, _CLAMP)
+    search = search.at[:, 2].set(d_theta)
+    new_est = jnp.where(guard[:, None], estimates_map + search,
+                        estimates_map)
+    return new_est, hess
+
+
+def match_hypotheses_mxu(
+    log_odds_pyramid: Sequence[jnp.ndarray],
+    begin_poses: jnp.ndarray,   # f32[B, 3] world poses
+    scan: Scan,
+    cfg: SlamConfig,
+    num_buckets: int = 0,       # 0 -> min(16, max(2, B // 1024))
+) -> MatchResult:
+    """Drop-in replacement for parallel.batch.match_hypotheses running
+    the coarse-to-fine pyramid with the MXU fast path. Exact neighbor
+    selection; automatic exact fallback on wide spreads.
+
+    ``num_buckets`` trades patch-DMA count (fewer buckets) against
+    per-bucket theta spread (more buckets keep the fast path engaged for
+    wider hypothesis sets). The default suits sigma ~ 0.05 m/rad
+    relocalization spreads; tune upward for wider ones."""
+    mcfg = cfg.map
+    model = cfg.update.cell_model
+    b_total = begin_poses.shape[0]
+    if num_buckets <= 0:
+        num_buckets = min(16, max(2, b_total // 1024))
+    while b_total % num_buckets:
+        num_buckets -= 1
+
+    poses = begin_poses
+    hess = jnp.zeros((b_total, 3, 3), jnp.float32)
+    any_valid = jnp.any(scan.mask)
+    for level in range(mcfg.levels - 1, -1, -1):
+        factor = jnp.float32(1.0 / (2.0 ** level))
+        pts = scan.points * factor if level > 0 else scan.points
+        iters = (cfg.match.iterations_finest if level == 0
+                 else cfg.match.iterations_coarse)
+        shape = log_odds_pyramid[level].shape[-2:]
+        grid = prob_grid(log_odds_pyramid[level], model)
+        quad = quad_pack(grid)
+        offset = mcfg.top_left_offset
+        scale = mcfg.level_scale(level)
+
+        est = jax.vmap(lambda p: world_to_map_pose(p, offset, scale))(poses)
+        for _ in range(iters + 1):
+            est, hess = gn_step_batch(grid, quad, shape, est, pts,
+                                      scan.mask, num_buckets)
+        est = est.at[:, 2].set(jax.vmap(normalize_angle)(est[:, 2]))
+        world = jax.vmap(lambda e: map_to_world_pose(
+            e, offset, mcfg.level_resolution(level)))(est)
+        poses = jnp.where(any_valid, world, poses)
+        hess = jnp.where(any_valid, hess, jnp.zeros_like(hess))
+    return MatchResult(pose=poses, hessian=hess)
+
+
+match_hypotheses_mxu_jit = jax.jit(
+    match_hypotheses_mxu, static_argnames=("cfg", "num_buckets"))

@@ -12,7 +12,7 @@ import pytest
 
 from hector_slam_tpu.config import MapConfig, SlamConfig
 from hector_slam_tpu.core.matcher import match_pyramid
-from hector_slam_tpu.core.slam import init_state, slam_step
+from hector_slam_tpu.core.slam import init_state, slam_step, slam_step_jit
 from hector_slam_tpu.io.scanlog import LaserModel, scan_from_ranges, stack_scans
 from hector_slam_tpu.io.simulator import World, corridor_trajectory, simulate_trajectory
 from hector_slam_tpu.parallel.batch import (best_hypothesis, fleet_step_jit,
@@ -142,3 +142,90 @@ def test_sharded_hypotheses_matches_unsharded(fixture):
                                 scans[4], CFG)
     np.testing.assert_allclose(np.asarray(got.pose), np.asarray(want.pose),
                                atol=1e-6)
+
+
+def test_mxu_matcher_equivalence():
+    """match_hypotheses_mxu must agree with the vmap/gather matcher: the
+    one-hot selection is exact (bf16x3 splits f32 exactly; one nonzero
+    product per output), so clustered hypotheses match to f32 reduction-
+    order tolerance and wide spreads hit the bit-exact fallback."""
+    import hector_slam_tpu.parallel.onehot_match as om
+    from hector_slam_tpu.core.grid import world_to_map_pose
+    from hector_slam_tpu.parallel.batch import match_hypotheses_jit
+
+    cfg = SlamConfig(map=MapConfig(resolution=0.05, size_x=512, size_y=512,
+                                   levels=3), max_beams=256,
+                     max_ray_cells=320)
+    laser = LaserModel(num_beams=181, angle_min=-1.57,
+                       angle_increment=0.01745, range_min=0.1,
+                       range_max=12.0)
+    world = World.corridor(length=10.0, width=3.0)
+    poses_true = corridor_trajectory(8, advance=0.1, weave=0.03)
+    ranges = simulate_trajectory(world, poses_true, laser,
+                                 range_noise_std=0.005)
+    scans = [scan_from_ranges(r, cfg.map.level_scale(0), laser,
+                              cfg.max_beams) for r in ranges]
+    state = init_state(cfg)
+    for sc, p in zip(scans, poses_true):
+        state, _ = slam_step_jit(state, sc, cfg, pose_hint=jnp.asarray(p),
+                                 map_without_matching=True)
+    scan = scans[-1]
+    rng = np.random.default_rng(0)
+    B = 512
+
+    # clustered: the MXU fast path must actually engage...
+    hyps = jnp.asarray(poses_true[-1] + rng.normal(0, 0.05, (B, 3)),
+                       jnp.float32)
+    est = jax.vmap(lambda p: world_to_map_pose(
+        p, cfg.map.top_left_offset, cfg.map.level_scale(0)))(hyps)
+    ok = om._cells_and_extents((512, 512), est, scan.points, scan.mask,
+                               2)[-1]
+    assert bool(ok), "fast path should engage for clustered hypotheses"
+    a = match_hypotheses_jit(state.log_odds, hyps, scan, cfg)
+    b = om.match_hypotheses_mxu_jit(state.log_odds, hyps, scan, cfg)
+    np.testing.assert_allclose(np.asarray(a.pose), np.asarray(b.pose),
+                               atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.hessian), np.asarray(b.hessian),
+        atol=2e-5 * float(np.abs(np.asarray(a.hessian)).max()))
+
+    # empty scan: poses returned verbatim (ScanMatcher.h:68,189)
+    empty = Scan(points=jnp.zeros((256, 2), jnp.float32),
+                 origo=jnp.zeros(2, jnp.float32),
+                 mask=jnp.zeros(256, bool))
+    c = om.match_hypotheses_mxu_jit(state.log_odds, hyps, empty, cfg)
+    np.testing.assert_array_equal(np.asarray(c.pose), np.asarray(hyps))
+
+
+def test_mxu_matcher_wide_spread_fallback():
+    """A hypothesis spread far beyond the patch must take the exact
+    quad-gather fallback: single GN steps agree to batched-vs-scalar
+    f32 reduction-order tolerance (~1 ulp)."""
+    import hector_slam_tpu.parallel.onehot_match as om
+    from hector_slam_tpu.core.cell_models import prob_grid
+    from hector_slam_tpu.core.interp import quad_pack
+    from hector_slam_tpu.core.matcher import gn_step
+
+    rng = np.random.default_rng(3)
+    H = W = 256
+    lo = jnp.asarray(rng.normal(0, 1.0, (H, W)), jnp.float32)
+    grid = prob_grid(lo, "log_odds")
+    quad = quad_pack(grid)
+    N, B = 64, 32
+    pts = jnp.asarray(rng.uniform(-60, 60, (N, 2)), jnp.float32)
+    mask = jnp.ones(N, bool)
+    poses = jnp.asarray(
+        np.c_[rng.uniform(40, 210, (B, 2)), rng.uniform(-3, 3, B)],
+        jnp.float32)
+    ok = om._cells_and_extents((H, W), poses, pts, mask, 2)[-1]
+    assert not bool(ok), "spread this wide must not fit the patches"
+    got_est, got_h = om.gn_step_batch(grid, quad, (H, W), poses, pts,
+                                      mask, 2)
+    for i in range(B):
+        want_est, want_h = gn_step(quad, (H, W), poses[i], pts, mask)
+        np.testing.assert_allclose(
+            np.asarray(got_est[i]), np.asarray(want_est),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(got_h[i]), np.asarray(want_h),
+            atol=1e-4 * max(1.0, float(np.abs(want_h).max())))
