@@ -28,6 +28,10 @@ from .query.raycast import (distance_to_obstacle,
 from .parallel.batch import (best_hypothesis, fleet_step, fleet_step_jit,
                              init_fleet, match_hypotheses,
                              match_hypotheses_jit)
+from .parallel.onehot_match import (match_hypotheses_mxu,
+                                    match_hypotheses_mxu_jit)
+from .query.raycast import get_normal
+from .export.markers import arrow_marker, covariance_ellipse, pose_markers
 
 __version__ = "0.1.0"
 
@@ -50,4 +54,6 @@ __all__ = [
     "get_distance_to_obstacle", "get_search_position",
     "best_hypothesis", "fleet_step", "fleet_step_jit", "init_fleet",
     "match_hypotheses", "match_hypotheses_jit",
+    "match_hypotheses_mxu", "match_hypotheses_mxu_jit",
+    "get_normal", "arrow_marker", "covariance_ellipse", "pose_markers",
 ]
