@@ -44,3 +44,24 @@ def transform_point(pose, xy) -> np.ndarray:
     c, s = np.cos(pose[2]), np.sin(pose[2])
     return np.asarray([pose[0] + c * xy[0] - s * xy[1],
                        pose[1] + s * xy[0] + c * xy[1]], np.float64)
+
+
+def map_to_odom_transform(slam_pose, odom_to_base):
+    """SE(2) transform map->odom = T(slam_pose) * T(odom_to_base)^-1 —
+    the reference's map->odom tf output (HectorMappingRos.cpp:359-374:
+    ``poseInfoContainer_.getTfTransform() * odom_to_base.inverse()``).
+    Both inputs and the result are (x, y, yaw) triples."""
+    import numpy as np
+    px, py, pt = (float(v) for v in slam_pose[:3])
+    ox, oy, ot = (float(v) for v in odom_to_base[:3])
+    # inverse of odom->base
+    ci, si = np.cos(-ot), np.sin(-ot)
+    ix = -(ci * ox - si * oy)
+    iy = -(si * ox + ci * oy)
+    # compose T(pose) * T(inv)
+    c, s = np.cos(pt), np.sin(pt)
+    return np.asarray([
+        px + c * ix - s * iy,
+        py + s * ix + c * iy,
+        pt - ot,
+    ], np.float32)

@@ -170,6 +170,19 @@ class SlamSession:
         self._published_update_count = count
         return to_occupancy_grid(self.state.log_odds[level])
 
+    def save_geotiff(self, base_path: str, with_trajectory: bool = True,
+                     objects=()) -> tuple:
+        """syscommand "savegeotiff" equivalent (geotiff_node.cpp:255-262):
+        renders the current level-0 map (+ recorded trajectory + objects
+        of interest) to <base>.png + <base>.tfw."""
+        from .export.geotiff import write_geotiff
+        occ = self.occupancy_grid()
+        path = self.trajectory.path() if with_trajectory else None
+        if path is not None and not len(path):
+            path = None
+        return write_geotiff(occ, self.meta, base_path, path_world=path,
+                             objects=objects)
+
     def timing_stats(self) -> dict:
         """output_timing equivalent, aggregated."""
         if not self._scan_times_ms:

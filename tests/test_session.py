@@ -221,3 +221,43 @@ def test_config_presets():
     assert HEIGHT_MAPPING_CONFIG.map_update_distance_thresh == 0.0
     assert SINGLE_MAP_CONFIG.map.levels == 1
     assert SINGLE_MAP_CONFIG.match.iterations_finest == 20
+
+
+def test_map_to_odom_transform():
+    """map->odom = T(pose) * T(odom->base)^-1 (HectorMappingRos.cpp:372):
+    composing it back with odom->base recovers the slam pose."""
+    from hector_slam_tpu.core.pose2d import map_to_odom_transform
+    rng = np.random.default_rng(4)
+    for _ in range(10):
+        pose = rng.uniform(-3, 3, 3)
+        odom = rng.uniform(-3, 3, 3)
+        m2o = map_to_odom_transform(pose, odom)
+        # compose m2o * odom->base
+        c, s = np.cos(m2o[2]), np.sin(m2o[2])
+        x = m2o[0] + c * odom[0] - s * odom[1]
+        y = m2o[1] + s * odom[0] + c * odom[1]
+        th = m2o[2] + odom[2]
+        np.testing.assert_allclose([x, y, th], pose, atol=1e-5)
+
+
+def test_session_save_geotiff(tmp_path):
+    """syscommand 'savegeotiff' parity through the session facade."""
+    from hector_slam_tpu.config import MapConfig, SlamConfig
+    from hector_slam_tpu.session import SlamSession
+    from hector_slam_tpu.io.scanlog import LaserModel
+    from hector_slam_tpu.io.simulator import (World, corridor_trajectory,
+                                              simulate_trajectory)
+    import os
+    cfg = SlamConfig(map=MapConfig(resolution=0.1, size_x=128, size_y=128,
+                                   levels=2), max_beams=128,
+                     max_ray_cells=64)
+    laser = LaserModel(num_beams=91, angle_min=-1.57,
+                       angle_increment=0.0349, range_min=0.1,
+                       range_max=5.0)
+    sess = SlamSession(cfg, laser)
+    world = World.room(size=5.0)
+    poses = corridor_trajectory(3, advance=0.05, weave=0.0)
+    for r in simulate_trajectory(world, poses, laser):
+        sess.process_ranges(r)
+    png, tfw = sess.save_geotiff(str(tmp_path / "session_map"))
+    assert os.path.exists(png) and os.path.exists(tfw)
