@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..config import SlamConfig
 from ..types import MatchResult, Scan, SlamState
-from ..core.interp import interp_with_derivatives
+from ..core.interp import interp_quad, quad_pack_storage
 from ..core.grid import world_to_map
 from ..core.matcher import match_pyramid
 from ..core.slam import slam_step
@@ -56,14 +56,16 @@ def residual_for_poses(
     offset = cfg.map.top_left_offset
     scale = cfg.map.level_scale(0)
 
+    quad = quad_pack_storage(log_odds, cfg.update.cell_model)
+    shape = log_odds.shape[-2:]
+
     def one(pose):
         pm = jnp.concatenate([world_to_map(pose[:2], offset, scale),
                               pose[2:]], axis=-1)
         s, c = jnp.sin(pm[2]), jnp.cos(pm[2])
         tx = c * scan.points[:, 0] - s * scan.points[:, 1] + pm[0]
         ty = s * scan.points[:, 0] + c * scan.points[:, 1] + pm[1]
-        m, _, _ = interp_with_derivatives(
-            log_odds, jnp.stack([tx, ty], axis=-1))
+        m, _, _ = interp_quad(quad, shape, jnp.stack([tx, ty], axis=-1))
         return jnp.sum(jnp.where(scan.mask, 1.0 - m, 0.0))
 
     return jax.vmap(one)(poses_world)
