@@ -6,9 +6,12 @@ The workload: 4096 perturbed start poses per batch, each running the full
 3-level coarse-to-fine Gauss-Newton pyramid (6+4+4 = 14 GN iterations,
 1081-beam scans padded to 1152) against a 1024^2 @ 0.05 m map built from
 simulated UTM-30LX data, via the theta-bucketed one-hot MXU matcher
-(parallel/onehot_match.py; exact selection with quad-gather fallback). ``vs_baseline`` is the ratio to the reference's
-only published capability: sequential matching at the sensor's 40 Hz scan
-rate (hector_mapping/package.xml:7 — one scan-match per scan, 40/s).
+(parallel/onehot_match.py; exact selection with quad-gather fallback).
+``vs_baseline`` is the honest headline: the ratio to BASELINE.json's
+>=10,000 matches/s/chip target for this exact workload. The reference's
+only published capability — sequential matching at the sensor's 40 Hz
+scan rate (hector_mapping/package.xml:7) — is reported as the secondary
+``vs_sensor_rate_40hz`` field.
 
 Timing methodology (important on remote/tunneled TPU backends): repeated
 dispatches of an identical executable+arguments can be served from a
@@ -90,12 +93,15 @@ def main() -> None:
     dt = min(per_batch)
 
     matches_per_s = B / dt
-    baseline_rate = 40.0  # reference: 40 Hz sequential (package.xml:7)
+    target_rate = 10000.0  # BASELINE.json: >=10k matches/s/chip
+    sensor_rate = 40.0     # reference: 40 Hz sequential (package.xml:7)
     print(json.dumps({
         "metric": "batched_scan_matches_per_sec_per_chip",
         "value": round(matches_per_s, 1),
         "unit": "matches/s (1081-beam, 3-level pyramid, 1024^2 @ 0.05 m)",
-        "vs_baseline": round(matches_per_s / baseline_rate, 2),
+        "vs_baseline": round(matches_per_s / target_rate, 2),
+        "baseline": "BASELINE.json >=10k matches/s/chip target",
+        "vs_sensor_rate_40hz": round(matches_per_s / sensor_rate, 1),
     }))
 
 

@@ -131,12 +131,25 @@ class SlamConfig:
     # jitted step has one shape. 1081 (UTM-30LX) pads to 1152 = 9*128,
     # a multiple of the 128-lane VPU width.
     max_beams: int = 1152
-    # static cap on free cells per ray for the map-update scatter
-    # (max laser range / finest cell length, rounded up). 30 m / 0.025 m.
-    max_ray_cells: int = 1216
+    # Static cap on free cells per ray for the map-update scatter.
+    # 0 (default) auto-derives the worst-case in-map geometry bound,
+    # max(size_x, size_y): a Bresenham line between two in-map cells has
+    # dominant-axis span <= size-1, so NO in-map beam can ever truncate —
+    # matching the reference, which marks every cell unconditionally
+    # (OccGridMapBase.h:243-260). Setting it lower (e.g. sensor range /
+    # resolution for a range-filtered scan source) trades a little update
+    # cost for a cap that the scan pipeline must honour; any cells a
+    # too-long beam drops are counted in StepMetrics.truncated_free_cells.
+    max_ray_cells: int = 0
+
+    @property
+    def resolved_max_ray_cells(self) -> int:
+        if self.max_ray_cells > 0:
+            return self.max_ray_cells
+        return max(self.map.size_x, self.map.size_y)
 
     def level_max_ray_cells(self, level: int) -> int:
-        k = self.max_ray_cells
+        k = self.resolved_max_ray_cells
         for _ in range(level):
             k = (k + 1) // 2
         # keep a small safety margin and 8-alignment
@@ -150,13 +163,16 @@ TUTORIAL_CONFIG = SlamConfig(
     map=MapConfig(resolution=0.05, size_x=2048, size_y=2048, levels=2),
     map_update_distance_thresh=0.4,
     map_update_angle_thresh=0.06,
+    # sensor-derived cap: UTM-30LX 30 m / 0.05 m = 600 cells + rounding
+    # margin; exact for range-filtered scans, divergences (if a caller
+    # feeds longer synthetic beams) are counted in truncated_free_cells
     max_ray_cells=640,
 )
 
 # Benchmark configuration from BASELINE.json config 1/4: 1024^2 @ 0.05 m.
 BENCH_CONFIG = SlamConfig(
     map=MapConfig(resolution=0.05, size_x=1024, size_y=1024, levels=3),
-    max_ray_cells=640,
+    max_ray_cells=640,  # sensor-derived: 30 m / 0.05 m + margin
 )
 
 # Height-mapping configuration (hector_slam_launch/launch/

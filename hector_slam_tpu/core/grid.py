@@ -10,6 +10,7 @@ array, and numerically identical per cell.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import MapConfig
@@ -59,11 +60,46 @@ def log_odds_to_prob(log_odds: jnp.ndarray) -> jnp.ndarray:
     return odds / (odds + jnp.float32(1.0))
 
 
+# two-float split of the double 2*pi (f64(2*pi) == _TWO_PI_HI + _TWO_PI_LO
+# exactly to f64 precision); used to emulate the reference's double-
+# precision angle arithmetic on f32-only TPU hardware
+_TWO_PI_D = 2.0 * float(np.float64(np.pi))
+_TWO_PI_HI = np.float32(_TWO_PI_D)
+_TWO_PI_LO = np.float32(_TWO_PI_D - float(_TWO_PI_HI))
+# largest f32 <= f64 pi: the reference compares `a > M_PI` in double, and
+# no f32 lies strictly between this value and f64 pi, so the f32 compare
+# `a > _PI_LOW32` is equivalent
+_PI_LOW32 = np.float32(np.nextafter(np.float32(np.pi), np.float32(0.0))) \
+    if float(np.float32(np.pi)) > float(np.float64(np.pi)) \
+    else np.float32(np.pi)
+
+
+def _add_twofloat(a: jnp.ndarray, hi, lo) -> jnp.ndarray:
+    """Correctly rounded f32(a + (hi+lo)) via 2Sum compensation — the f32
+    emulation of one double add + single rounding."""
+    s = a + hi
+    bv = s - a
+    err = (a - (s - bv)) + (hi - bv)   # exact f32 rounding error of a+hi
+    return s + (err + lo)
+
+
 def normalize_angle(angle: jnp.ndarray) -> jnp.ndarray:
-    """util/UtilFunctions.h:37-49: fmod to [0, 2pi), then shift > pi."""
-    two_pi = jnp.float32(2.0 * jnp.pi)
-    a = jnp.fmod(jnp.fmod(angle, two_pi) + two_pi, two_pi)
-    return jnp.where(a > jnp.float32(jnp.pi), a - two_pi, a)
+    """util/UtilFunctions.h:37-49. The reference's fmod chain runs in
+    DOUBLE (``2.0f*M_PI`` is a double expression) and rounds to float
+    once — so for |angle| < 2*pi it is NOT the f32 fmod chain: the +2*pi
+    and -2*pi steps round like double adds. Emulated here with two-float
+    compensated adds (bit-validated against the compiled reference in
+    tests/test_reference_binary.py). Inputs beyond +-2*pi first get a
+    coarse f32 wrap (the engine never produces them; parity claim is for
+    |angle| < 2*pi)."""
+    two_pi = jnp.float32(_TWO_PI_HI)
+    # coarse range reduction for robustness on wild inputs
+    a = jnp.where(jnp.abs(angle) >= two_pi, jnp.fmod(angle, two_pi), angle)
+    # fmod(a, 2pi_d) == a exactly for |a| < 2pi; then + 2pi_d, fmod again:
+    # identity for a >= 0, one double add for a < 0
+    pos = jnp.where(a < 0.0, _add_twofloat(a, _TWO_PI_HI, _TWO_PI_LO), a)
+    return jnp.where(pos > _PI_LOW32,
+                     _add_twofloat(pos, -_TWO_PI_HI, -_TWO_PI_LO), pos)
 
 
 def pose_difference_larger_than(pose1: jnp.ndarray, pose2: jnp.ndarray,

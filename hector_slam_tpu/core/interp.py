@@ -176,8 +176,12 @@ def _accumulate_normal_eqs(interp, pose_map, points, mask):
 
     px = points[:, 0]
     py = points[:, 1]
-    tx = cos_rot * px - sin_rot * py + pose_map[0]
-    ty = sin_rot * px + cos_rot * py + pose_map[1]
+    # Eigen applies Affine2f as m00*px + (m01*py + t) — the translation
+    # folds into the second product's sum (verified bitwise against the
+    # compiled reference, native/refbuild). XLA preserves f32 association,
+    # so writing it this way reproduces the reference's rounding.
+    tx = cos_rot * px + (-sin_rot * py + pose_map[0])
+    ty = sin_rot * px + (cos_rot * py + pose_map[1])
 
     m, gx, gy = interp(jnp.stack([tx, ty], axis=-1))
     # mask padded beams (the reference never sees them at all)

@@ -57,10 +57,17 @@ def rasterize_scan(
     offset,
     scale,
     max_ray_cells: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Computes the per-scan free/occupied boolean grids for one level.
 
-    Returns (free_set bool[H,W], occ_set bool[H,W]).
+    Returns (free_set bool[H,W], occ_set bool[H,W], truncated_cells i32[]).
+
+    ``truncated_cells`` counts free cells dropped because a beam's
+    dominant-axis span exceeded ``max_ray_cells`` — the reference marks
+    every cell unconditionally (OccGridMapBase.h:243-260), so a nonzero
+    count means divergence from reference semantics. With the default
+    auto-derived cap (SlamConfig.max_ray_cells == 0 -> max(size_x, size_y))
+    no in-map beam can ever truncate.
     """
     h, w = grid_shape
     num_cells = h * w
@@ -70,15 +77,19 @@ def rasterize_scan(
     c = jnp.cos(pose_map[2])
 
     # beam start: transform origo, round via +0.5 then int cast
-    # (OccGridMapBase.h:134-137)
-    ox = c * scan_origo[0] - s * scan_origo[1] + pose_map[0]
-    oy = s * scan_origo[0] + c * scan_origo[1] + pose_map[1]
+    # (OccGridMapBase.h:134-137). Eigen applies Affine2f as
+    # m00*px + (m01*py + t) — translation folded into the second
+    # product's sum (verified bitwise vs the compiled reference,
+    # native/refbuild) — which matters here because the +0.5 rounding
+    # can flip a cell on a 1-ulp difference.
+    ox = c * scan_origo[0] + (-s * scan_origo[1] + pose_map[0])
+    oy = s * scan_origo[0] + (c * scan_origo[1] + pose_map[1])
     bx = (ox + jnp.float32(0.5)).astype(jnp.int32)
     by = (oy + jnp.float32(0.5)).astype(jnp.int32)
 
     # beam endpoints, same rounding (OccGridMapBase.h:148-155)
-    ex_f = c * scan_points[:, 0] - s * scan_points[:, 1] + pose_map[0]
-    ey_f = s * scan_points[:, 0] + c * scan_points[:, 1] + pose_map[1]
+    ex_f = c * scan_points[:, 0] + (-s * scan_points[:, 1] + pose_map[0])
+    ey_f = s * scan_points[:, 0] + (c * scan_points[:, 1] + pose_map[1])
     ex = (ex_f + jnp.float32(0.5)).astype(jnp.int32)
     ey = (ey_f + jnp.float32(0.5)).astype(jnp.int32)
 
@@ -117,6 +128,10 @@ def rasterize_scan(
     free_flat = jnp.where(free_mask, free_flat, num_cells)
     occ_flat = jnp.where(valid, ey * w + ex, num_cells)
 
+    # cells silently dropped by the static cap (reference marks them all)
+    truncated = jnp.sum(jnp.where(
+        valid, jnp.maximum(abs_da - max_ray_cells, 0), 0)).astype(jnp.int32)
+
     # commutative scatter-OR; sentinel (== num_cells) is dropped
     free_set = (
         jnp.zeros(num_cells, jnp.bool_)
@@ -128,7 +143,7 @@ def rasterize_scan(
         .at[occ_flat].set(True, mode="drop")
         .reshape(h, w)
     )
-    return free_set, occ_set
+    return free_set, occ_set, truncated
 
 
 def update_level(
@@ -144,16 +159,18 @@ def update_level(
     log_odds_occupied: float,
     beam_axis: str | None = None,
     cell_model: str = "log_odds",
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Applies one scan's log-odds update to one level (see module doc for
     the scatter-mask derivation from OccGridMapBase.h:216-241).
+
+    Returns (new_log_odds, truncated_cells i32[]).
 
     ``beam_axis``: when the beam dimension is sharded (inside shard_map),
     each device rasterizes its local beams and the boolean cell sets are
     OR-combined with a psum over ICI — the masks commute, so this is
     exact.
     """
-    free_set, occ_set = rasterize_scan(
+    free_set, occ_set, truncated = rasterize_scan(
         log_odds.shape[-2:], pose_world, scan_points, scan_origo,
         scan_mask, offset, scale, max_ray_cells)
     if beam_axis is not None:
@@ -161,9 +178,11 @@ def update_level(
             free_set.astype(jnp.int32), beam_axis) > 0
         occ_set = jax.lax.psum(
             occ_set.astype(jnp.int32), beam_axis) > 0
+        truncated = jax.lax.psum(truncated, beam_axis)
     free_only = free_set & ~occ_set
-    return apply_update(log_odds, free_only, occ_set, cell_model,
-                        log_odds_free, log_odds_occupied)
+    new_log_odds = apply_update(log_odds, free_only, occ_set, cell_model,
+                                log_odds_free, log_odds_occupied)
+    return new_log_odds, truncated
 
 
 def update_pyramid(
@@ -172,20 +191,26 @@ def update_pyramid(
     scan: Scan,
     cfg: SlamConfig,
     beam_axis: str | None = None,
-) -> Tuple[jnp.ndarray, ...]:
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
     """MapRepMultiMap::updateByScan (MapRepMultiMap.h:134-147): every level
-    updated independently with its 2^-level-scaled scan."""
+    updated independently with its 2^-level-scaled scan.
+
+    Returns (new pyramid tuple, truncated_cells i32[] summed over levels).
+    """
     mcfg = cfg.map
     out = []
+    truncated_total = jnp.zeros((), jnp.int32)
     for level, lo in enumerate(log_odds_pyramid):
         factor = jnp.float32(1.0 / (2.0 ** level))
         pts = scan.points * factor if level > 0 else scan.points
         org = scan.origo * factor if level > 0 else scan.origo
-        out.append(update_level(
+        new_lo, truncated = update_level(
             lo, pose_world, pts, org, scan.mask,
             mcfg.top_left_offset, mcfg.level_scale(level),
             cfg.level_max_ray_cells(level),
             cfg.update.log_odds_free, cfg.update.log_odds_occupied,
             beam_axis, cfg.update.cell_model,
-        ))
-    return tuple(out)
+        )
+        out.append(new_lo)
+        truncated_total = truncated_total + truncated
+    return tuple(out), truncated_total

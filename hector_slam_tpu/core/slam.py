@@ -82,19 +82,20 @@ def slam_step(
         return update_pyramid(pyramid, new_pose, scan, cfg, beam_axis)
 
     def without_update(pyramid):
-        return tuple(pyramid)
+        return tuple(pyramid), jnp.zeros((), jnp.int32)
 
     if beam_axis is None:
-        new_log_odds = jax.lax.cond(
+        new_log_odds, truncated = jax.lax.cond(
             do_update, with_update, without_update, state.log_odds)
     else:
         # inside shard_map a cond with collectives must run on all
         # replicas; the gate bit is identical everywhere (it derives from
         # the psum'd match), so select after an unconditional update
-        updated = with_update(state.log_odds)
+        updated, truncated = with_update(state.log_odds)
         new_log_odds = tuple(
             jnp.where(do_update, u, o)
             for u, o in zip(updated, state.log_odds))
+        truncated = jnp.where(do_update, truncated, 0)
     new_last_update_pose = jnp.where(
         do_update, new_pose, state.last_map_update_pose)
 
@@ -111,6 +112,7 @@ def slam_step(
         map_updated=do_update,
         hessian_det=det3(hessian),
         num_valid_beams=jnp.sum(scan.mask).astype(jnp.int32),
+        truncated_free_cells=truncated,
     )
     return new_state, metrics
 

@@ -242,8 +242,11 @@ class GeotiffExporter:
             self._draw_line(a, b, color, width)
         if start_yaw is None and pts.shape[1] >= 3:
             start_yaw = float(pts[0, 2])
-        self._draw_start_arrow(geo[0], 0.0 if start_yaw is None
-                               else float(start_yaw))
+        # no yaw available (x,y-only path): skip the arrow rather than
+        # painting a wrong heading — the reference always receives the
+        # start pose orientation (trajectory_geotiff_plugin.cpp:100-107)
+        if start_yaw is not None:
+            self._draw_start_arrow(geo[0], float(start_yaw))
 
     def _fill_polygon_geo(self, verts_geo: np.ndarray, color) -> None:
         """Filled polygon given geo-coord vertices (small shapes only)."""

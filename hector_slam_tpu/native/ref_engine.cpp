@@ -116,8 +116,12 @@ void hessian_derivs(const RefMap& m, const float pose[3],
   dTr[0] = dTr[1] = dTr[2] = 0.0f;
   for (int i = 0; i < n; ++i) {
     float px = pts[2 * i], py = pts[2 * i + 1];
-    float txp = (mc * px + (-ms) * py) + pose[0];
-    float typ = (ms * px + mc * py) + pose[1];
+    // Eigen applies an affine as linear*p + translation with the
+    // translation folded into the second product's sum:
+    // x' = m00*px + (m01*py + t) — verified bitwise vs the compiled
+    // reference (refbuild/), NOT (m00*px + m01*py) + t
+    float txp = mc * px + ((-ms) * py + pose[0]);
+    float typ = ms * px + (mc * py + pose[1]);
     float ipd[3];
     interp_derivs(m, txp, typ, ipd);
     float fun_val = 1.0f - ipd[0];
@@ -136,23 +140,39 @@ void hessian_derivs(const RefMap& m, const float pose[3],
   H[3] = H[1]; H[6] = H[2]; H[7] = H[5];
 }
 
-// 3x3 inverse*vector in f32, cofactor form (Eigen Matrix3f::inverse())
+// 3x3 inverse*vector in f32, matching Eigen Matrix3f::inverse()'s exact
+// rounding (Eigen/src/LU/InverseImpl.h compute_inverse<.,.,3>): each
+// inverse ENTRY is rounded as cofactor*invdet BEFORE the matvec — not
+// (cofactor-matvec)*invdet — verified bitwise vs the compiled reference
+// (refbuild/). cofactor_3x3<i,j> = m(i1,j1)*m(i2,j2) - m(i1,j2)*m(i2,j1)
+// with i1=(i+1)%3 etc.; inverse(r,c) = cofactor<c,r>*invdet;
+// det = cof00*m00 + (cof10*m10 + cof20*m20) (right-assoc).
 void solve3(const float H[9], const float b[3], float x[3]) {
-  float c00 = H[4] * H[8] - H[5] * H[7];
-  float c01 = H[5] * H[6] - H[3] * H[8];
-  float c02 = H[3] * H[7] - H[4] * H[6];
-  float c10 = H[7] * H[2] - H[8] * H[1];
-  float c11 = H[8] * H[0] - H[6] * H[2];
-  float c12 = H[6] * H[1] - H[7] * H[0];
-  float c20 = H[1] * H[5] - H[2] * H[4];
-  float c21 = H[2] * H[3] - H[0] * H[5];
-  float c22 = H[0] * H[4] - H[1] * H[3];
-  float det = H[0] * c00 + H[1] * c01 + H[2] * c02;
-  float inv_det = 1.0f / det;
-  // inv = adj/det, adj = cofactor^T; x = inv * b
-  x[0] = (c00 * b[0] + c10 * b[1] + c20 * b[2]) * inv_det;
-  x[1] = (c01 * b[0] + c11 * b[1] + c21 * b[2]) * inv_det;
-  x[2] = (c02 * b[0] + c12 * b[1] + c22 * b[2]) * inv_det;
+#define COF(i, j)                                                       \
+  (H[3 * (((i) + 1) % 3) + (((j) + 1) % 3)] *                           \
+       H[3 * (((i) + 2) % 3) + (((j) + 2) % 3)] -                       \
+   H[3 * (((i) + 1) % 3) + (((j) + 2) % 3)] *                           \
+       H[3 * (((i) + 2) % 3) + (((j) + 1) % 3)])
+  float c00 = COF(0, 0), c10 = COF(1, 0), c20 = COF(2, 0);
+  // Eigen's 3-element redux is RIGHT-associated: p0 + (p1 + p2)
+  float det = c00 * H[0] + (c10 * H[3] + c20 * H[6]);
+  float invdet = 1.0f / det;
+  float inv[9];
+  inv[0] = c00 * invdet;
+  inv[1] = c10 * invdet;
+  inv[2] = c20 * invdet;
+  inv[3] = COF(0, 1) * invdet;
+  inv[4] = COF(1, 1) * invdet;
+  inv[5] = COF(2, 1) * invdet;
+  inv[6] = COF(0, 2) * invdet;
+  inv[7] = COF(1, 2) * invdet;
+  inv[8] = COF(2, 2) * invdet;
+#undef COF
+  // Eigen's Matrix3f*Vector3f contracts RIGHT-associated:
+  // p0 + (p1 + p2) (verified bitwise vs the compiled reference)
+  x[0] = inv[0] * b[0] + (inv[1] * b[1] + inv[2] * b[2]);
+  x[1] = inv[3] * b[0] + (inv[4] * b[1] + inv[5] * b[2]);
+  x[2] = inv[6] * b[0] + (inv[7] * b[1] + inv[8] * b[2]);
 }
 
 // estimateTransformationLogLh (ScanMatcher.h:194-226)
@@ -170,11 +190,14 @@ void gn_step(const RefMap& m, float est[3], const float* pts, int n,
 }
 
 inline float normalize_angle(float a) {
-  // util/UtilFunctions.h:37-49 (float fmod chain; the 2*pi constant is
-  // 2.0f*M_PI — a double expression truncated to float by the fmod call)
-  float two_pi = (float)(2.0 * M_PI);
-  float r = fmodf(fmodf(a, two_pi) + two_pi, two_pi);
-  if (r > (float)M_PI) r -= two_pi;
+  // util/UtilFunctions.h:37-49: 2.0f*M_PI is a DOUBLE expression, so the
+  // whole fmod chain runs in double and rounds to float once at the
+  // normalize_angle_pos return; the > M_PI compare and final subtraction
+  // are double too (verified bitwise vs the compiled reference,
+  // refbuild/)
+  double two_pi = 2.0f * M_PI;
+  float r = (float)fmod(fmod((double)a, two_pi) + two_pi, two_pi);
+  if ((double)r > M_PI) r = (float)((double)r - two_pi);
   return r;
 }
 
@@ -225,14 +248,15 @@ void update_by_scan(RefMap& m, const float* pts, int n,
   float pm[3] = {world_to_map_x(m, pose_world[0]),
                  world_to_map_y(m, pose_world[1]), pose_world[2]};
   float c = cosf(pm[2]), s = sinf(pm[2]);
-  float ox = (c * origo[0] + (-s) * origo[1]) + pm[0];
-  float oy = (s * origo[0] + c * origo[1]) + pm[1];
+  // Eigen affine order: m00*px + (m01*py + t), see hessian_derivs
+  float ox = c * origo[0] + ((-s) * origo[1] + pm[0]);
+  float oy = s * origo[0] + (c * origo[1] + pm[1]);
   int bx = (int)(ox + 0.5f);
   int by = (int)(oy + 0.5f);
   for (int i = 0; i < n; ++i) {
     float px = pts[2 * i], py = pts[2 * i + 1];
-    float exf = (c * px + (-s) * py) + pm[0];
-    float eyf = (s * px + c * py) + pm[1];
+    float exf = c * px + ((-s) * py + pm[0]);
+    float eyf = s * px + (c * py + pm[1]);
     int ex = (int)(exf + 0.5f);
     int ey = (int)(eyf + 0.5f);
     if (bx == ex && by == ey) continue;

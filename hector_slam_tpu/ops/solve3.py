@@ -22,12 +22,17 @@ def adjugate3(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def det3(m: jnp.ndarray) -> jnp.ndarray:
-    """Determinant of [..., 3, 3] via first-row cofactor expansion (Eigen's
-    fixed-size order)."""
+    """Determinant of [..., 3, 3] exactly as Eigen's fixed-size inverse
+    computes it (InverseImpl.h compute_inverse<.,.,3>): column-0
+    cofactors, products cof*m, RIGHT-associated sum p0 + (p1 + p2) —
+    verified bitwise vs the compiled reference (native/refbuild)."""
     a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
     d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
     g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
-    return a * (e * i - f * h) + b * (f * g - d * i) + c * (d * h - e * g)
+    c00 = e * i - f * h          # cofactor<0,0>
+    c10 = h * c - i * b          # cofactor<1,0>
+    c20 = b * f - c * e          # cofactor<2,0>
+    return c00 * a + (c10 * d + c20 * g)
 
 
 def solve3(hess: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -39,5 +44,13 @@ def solve3(hess: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """
     adj = adjugate3(hess)
     det = det3(hess)
-    inv = adj / det[..., None, None]
-    return jnp.einsum("...ij,...j->...i", inv, rhs)
+    # Eigen rounds each inverse entry as cofactor * (1/det) — multiply by
+    # the rounded reciprocal, not divide (InverseImpl.h
+    # compute_inverse_size3_helper) — and contracts the matvec
+    # RIGHT-associated: i0*b0 + (i1*b1 + i2*b2); spelled out so XLA keeps
+    # the association (both verified bitwise vs the compiled reference,
+    # native/refbuild)
+    inv = adj * (jnp.float32(1.0) / det)[..., None, None]
+    return inv[..., :, 0] * rhs[..., None, 0] + (
+        inv[..., :, 1] * rhs[..., None, 1]
+        + inv[..., :, 2] * rhs[..., None, 2])

@@ -36,12 +36,18 @@ F32 = np.float32
 
 
 def normalize_angle(angle: float) -> float:
-    """util/UtilFunctions.h:37-49 (float32 fmod chain)."""
-    two_pi = F32(2.0 * math.pi)
-    a = np.fmod(np.fmod(F32(angle), two_pi) + two_pi, two_pi)
-    if a > F32(math.pi):
-        a = a - two_pi
-    return F32(a)
+    """util/UtilFunctions.h:37-49. The fmod chain runs in DOUBLE —
+    ``2.0f*M_PI`` is a double expression, promoting fmod to
+    fmod(double,double) — with one rounding to float at the
+    normalize_angle_pos return; the ``a > M_PI`` compare and the final
+    subtraction are double too (verified bitwise vs the compiled
+    reference, native/refbuild)."""
+    two_pi = 2.0 * math.pi
+    a = F32(math.fmod(math.fmod(float(F32(angle)), two_pi) + two_pi,
+                      two_pi))
+    if float(a) > math.pi:
+        a = F32(float(a) - two_pi)
+    return a
 
 
 def pose_difference_larger_than(pose1, pose2, dist_thresh, angle_thresh) -> bool:
@@ -196,9 +202,12 @@ class OracleMap:
         H = np.zeros((3, 3), np.float32)
         dTr = np.zeros(3, np.float32)
         for p in np.asarray(points, np.float32):
-            # transform * currPoint: R @ p + t
-            tx = cos_rot * p[0] - sin_rot * p[1] + pose_map[0]
-            ty = sin_rot * p[0] + cos_rot * p[1] + pose_map[1]
+            # transform * currPoint. Eigen applies Affine2f as
+            # m00*px + (m01*py + t) — the translation is folded into the
+            # second product's sum, verified bitwise against the compiled
+            # reference (native/refbuild) — NOT ((m00*px + m01*py) + t)
+            tx = cos_rot * p[0] + (-sin_rot * p[1] + pose_map[0])
+            ty = sin_rot * p[0] + (cos_rot * p[1] + pose_map[1])
             m, gx, gy = self.interp_with_derivatives(
                 np.array([tx, ty], np.float32))
             fun_val = F32(1.0) - m
@@ -236,8 +245,16 @@ def inv3_f32(H: np.ndarray) -> np.ndarray:
     c[2, 0] = H[0, 1] * H[1, 2] - H[0, 2] * H[1, 1]
     c[2, 1] = H[0, 2] * H[1, 0] - H[0, 0] * H[1, 2]
     c[2, 2] = H[0, 0] * H[1, 1] - H[0, 1] * H[1, 0]
-    det = H[0, 0] * c[0, 0] + H[0, 1] * c[0, 1] + H[0, 2] * c[0, 2]
-    return (c.T / det).astype(np.float32)
+    # Eigen: det = cof<0,0>*m00 + (cof<1,0>*m10 + cof<2,0>*m20),
+    # RIGHT-associated (verified bitwise vs the compiled reference);
+    # for the symmetric H this reduces to the row-0 products below
+    det = H[0, 0] * c[0, 0] + (H[0, 1] * c[0, 1] + H[0, 2] * c[0, 2])
+    # Eigen rounds each inverse ENTRY as cofactor * (1/det) — multiply by
+    # the rounded reciprocal, NOT divide (InverseImpl.h
+    # compute_inverse_size3_helper; verified bitwise vs the compiled
+    # reference, native/refbuild)
+    invdet = F32(1.0) / det
+    return (c.T * invdet).astype(np.float32)
 
 
 def gn_step(grid: OracleMap, estimate_map: np.ndarray, points) -> Tuple[np.ndarray, np.ndarray]:
@@ -250,7 +267,17 @@ def gn_step(grid: OracleMap, estimate_map: np.ndarray, points) -> Tuple[np.ndarr
     H, dTr = grid.complete_hessian_derivs(estimate_map, points)
     estimate = np.array(estimate_map, np.float32)
     if H[0, 0] != 0.0 and H[1, 1] != 0.0:
-        search_dir = inv3_f32(H) @ dTr
+        # hand-rolled matvec with Eigen's ((a+b)+c) f32 association —
+        # numpy's BLAS sgemv may contract with FMA/higher precision
+        inv = inv3_f32(H)
+        # Eigen's Matrix3f*Vector3f contracts RIGHT-associated:
+        # p0 + (p1 + p2) (verified bitwise vs the compiled reference);
+        # numpy's BLAS sgemv may contract differently, so hand-roll
+        search_dir = np.array(
+            [inv[0, 0] * dTr[0] + (inv[0, 1] * dTr[1] + inv[0, 2] * dTr[2]),
+             inv[1, 0] * dTr[0] + (inv[1, 1] * dTr[1] + inv[1, 2] * dTr[2]),
+             inv[2, 0] * dTr[0] + (inv[2, 1] * dTr[1] + inv[2, 2] * dTr[2])],
+            np.float32)
         if search_dir[2] > F32(0.2):
             search_dir[2] = F32(0.2)
         elif search_dir[2] < F32(-0.2):
@@ -300,8 +327,10 @@ def update_by_scan(grid: OracleMap, points, origo, pose_world) -> None:
     c = F32(np.cos(pose_map[2]))
 
     def tf(p):
-        return (c * p[0] - s * p[1] + pose_map[0],
-                s * p[0] + c * p[1] + pose_map[1])
+        # Eigen affine order: m00*px + (m01*py + t), see
+        # complete_hessian_derivs
+        return (c * p[0] + (-s * p[1] + pose_map[0]),
+                s * p[0] + (c * p[1] + pose_map[1]))
 
     ox, oy = tf(np.asarray(origo, np.float32))
     # rounding by +0.5 then int cast (OccGridMapBase.h:137)

@@ -63,8 +63,9 @@ def residual_for_poses(
         pm = jnp.concatenate([world_to_map(pose[:2], offset, scale),
                               pose[2:]], axis=-1)
         s, c = jnp.sin(pm[2]), jnp.cos(pm[2])
-        tx = c * scan.points[:, 0] - s * scan.points[:, 1] + pm[0]
-        ty = s * scan.points[:, 0] + c * scan.points[:, 1] + pm[1]
+        # Eigen affine order: m00*px + (m01*py + t) (see core/interp.py)
+        tx = c * scan.points[:, 0] + (-s * scan.points[:, 1] + pm[0])
+        ty = s * scan.points[:, 0] + (c * scan.points[:, 1] + pm[1])
         m, _, _ = interp_quad(quad, shape, jnp.stack([tx, ty], axis=-1))
         return jnp.sum(jnp.where(scan.mask, 1.0 - m, 0.0))
 

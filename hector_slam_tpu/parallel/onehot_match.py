@@ -13,13 +13,13 @@ the MXU. The design is shaped by two measured costs:
     apart) x a BUCKET of theta-sorted hypotheses (theta drives per-beam
     spread: a d-theta range sweeps d-theta * beam-radius cells);
   - one-hot contraction flops are nearly free next to the patch DMA and
-    one-hot materialization traffic, so patches are generous (64 x 128)
+    one-hot materialization traffic, so patches are generous (64 x 256)
     to keep the fast path applicable.
 
 Per pyramid level, per GN iteration:
   1. sort hypotheses by theta, split into G buckets of S;
   2. per (bucket, beam-group): patch base = min cell over the bucket's
-     hypotheses and the group's beams, clipped; fetch a [64, 128] patch;
+     hypotheses and the group's beams, clipped; fetch a [64, 256] patch;
   3. one-hot select the four bilinear neighbors with two MXU einsums per
      bucket (column selection) + four tiny row contractions;
   4. the usual quirk-gradient bilinear math + per-hypothesis JtJ/JtR.
@@ -72,8 +72,9 @@ def _transform(poses_map: jnp.ndarray, points: jnp.ndarray):
     c = jnp.cos(poses_map[:, 2])[:, None]
     px = points[None, :, 0]
     py = points[None, :, 1]
-    tx = c * px - s * py + poses_map[:, 0:1]
-    ty = s * px + c * py + poses_map[:, 1:2]
+    # Eigen affine order: m00*px + (m01*py + t) (see core/interp.py)
+    tx = c * px + (-s * py + poses_map[:, 0:1])
+    ty = s * px + (c * py + poses_map[:, 1:2])
     return tx, ty
 
 
@@ -259,6 +260,18 @@ def match_hypotheses_mxu(
         num_buckets = min(16, max(2, b_total // 1024))
     while b_total % num_buckets:
         num_buckets -= 1
+
+    # the 8-beam grouping needs the padded beam count to be a GROUP
+    # multiple; pad points/mask (padding is masked out downstream) rather
+    # than failing with an opaque reshape error at trace time
+    n = scan.points.shape[0]
+    if n % GROUP:
+        pad = GROUP - n % GROUP
+        scan = Scan(
+            points=jnp.pad(scan.points, ((0, pad), (0, 0))),
+            origo=scan.origo,
+            mask=jnp.pad(scan.mask, (0, pad)),
+        )
 
     poses = begin_poses
     hess = jnp.zeros((b_total, 3, 3), jnp.float32)

@@ -176,7 +176,12 @@ class SlamSession:
         renders the current level-0 map (+ recorded trajectory + objects
         of interest) to <base>.png + <base>.tfw."""
         from .export.geotiff import write_geotiff
-        occ = self.occupancy_grid()
+        # render directly from state: the reference's geotiff node pulls
+        # the map via its own service call and does not consume the map
+        # publisher's update-index gate (geotiff_node.cpp:126), so a
+        # geotiff export must not disturb occupancy_grid(only_if_changed=
+        # True) bookkeeping for a separate consumer
+        occ = to_occupancy_grid(self.state.log_odds[0])
         path = self.trajectory.path() if with_trajectory else None
         if path is not None and not len(path):
             path = None

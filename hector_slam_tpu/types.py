@@ -56,3 +56,6 @@ class StepMetrics(NamedTuple):
     map_updated: jnp.ndarray       # bool[] gate decision
     hessian_det: jnp.ndarray       # f32[] det of final H
     num_valid_beams: jnp.ndarray   # i32[]
+    truncated_free_cells: jnp.ndarray  # i32[] cells dropped by the
+    #   max_ray_cells cap this step (0 under the default auto cap; the
+    #   reference marks every cell, so nonzero == semantic divergence)

