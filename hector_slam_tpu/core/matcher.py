@@ -108,10 +108,15 @@ def match_pyramid(
     scan: Scan,
     cfg: SlamConfig,
     beam_axis: str | None = None,
+    quads: Sequence[jnp.ndarray] | None = None,
 ) -> MatchResult:
     """MapRepMultiMap::matchData (MapRepMultiMap.h:116-132): coarse->fine,
     scan pre-scaled per level by 2^-level, pose chained in world coords.
     The returned H is the finest level's (it overwrites covMatrix last).
+
+    ``quads``: optional pre-packed per-level prob grids (SlamState.quads,
+    the epoch cache — GridMapCacheArray.h:69-72 equivalent); when absent
+    they are derived here from the log-odds storage.
     """
     mcfg = cfg.map
     model = cfg.update.cell_model
@@ -130,7 +135,10 @@ def match_pyramid(
         # (multi-hypothesis) this pose-independent packing is traced
         # once, not per hypothesis.
         lvl_shape = log_odds_pyramid[level].shape[-2:]
-        quad_lvl = quad_pack(prob_grid(log_odds_pyramid[level], model))
+        if quads is not None and len(quads) > level:
+            quad_lvl = quads[level]
+        else:
+            quad_lvl = quad_pack(prob_grid(log_odds_pyramid[level], model))
         pose, hess = match_level(
             quad_lvl, lvl_shape, pose, pts, scan.mask, iters,
             mcfg.top_left_offset, mcfg.level_scale(level),

@@ -28,20 +28,29 @@ from ..config import SlamConfig
 from ..types import Scan, SlamState, StepMetrics
 from ..ops.solve3 import det3
 from .grid import init_log_odds_pyramid, pose_difference_larger_than
+from .interp import quad_pack_storage
 from .mapping import update_pyramid
 from .matcher import match_pyramid
+
+
+def _quads_of(log_odds_pyramid, cell_model: str):
+    """Per-level quad-packed prob grids — the matcher's cached view of the
+    map (GridMapCacheArray epoch-cache equivalent, see core/interp.py)."""
+    return tuple(quad_pack_storage(lo, cell_model) for lo in log_odds_pyramid)
 
 
 def init_state(cfg: SlamConfig) -> SlamState:
     """Fresh state == HectorSlamProcessor::reset (HectorSlamProcessor.h:115)."""
     flt_max = jnp.float32(jnp.finfo(jnp.float32).max)
+    log_odds = init_log_odds_pyramid(cfg.map, cfg.update.cell_model)
     return SlamState(
-        log_odds=init_log_odds_pyramid(cfg.map, cfg.update.cell_model),
+        log_odds=log_odds,
         pose=jnp.zeros(3, jnp.float32),
         last_map_update_pose=jnp.full((3,), flt_max, jnp.float32),
         covariance=jnp.zeros((3, 3), jnp.float32),
         step=jnp.zeros((), jnp.int32),
         map_update_count=jnp.zeros((), jnp.int32),
+        quads=_quads_of(log_odds, cfg.update.cell_model),
     )
 
 
@@ -68,7 +77,8 @@ def slam_step(
         new_pose = hint
         hessian = state.covariance
     else:
-        result = match_pyramid(state.log_odds, hint, scan, cfg, beam_axis)
+        result = match_pyramid(state.log_odds, hint, scan, cfg, beam_axis,
+                               quads=state.quads)
         new_pose = result.pose
         hessian = result.hessian
 
@@ -99,6 +109,16 @@ def slam_step(
     new_last_update_pose = jnp.where(
         do_update, new_pose, state.last_map_update_pose)
 
+    # refresh the cached prob/quad grids ONLY when the map changed — the
+    # reference's epoch-cache invalidation (MapRepMultiMap.h:107-114);
+    # non-gated scans (the steady state) pay nothing here. quad_pack has
+    # no collectives, so this cond is safe inside shard_map too.
+    new_quads = jax.lax.cond(
+        do_update,
+        lambda _: _quads_of(new_log_odds, cfg.update.cell_model),
+        lambda _: state.quads,
+        None)
+
     new_state = SlamState(
         log_odds=new_log_odds,
         pose=new_pose,
@@ -106,6 +126,7 @@ def slam_step(
         covariance=hessian,
         step=state.step + 1,
         map_update_count=state.map_update_count + do_update.astype(jnp.int32),
+        quads=new_quads,
     )
     metrics = StepMetrics(
         pose_delta=new_pose - state.pose,

@@ -22,15 +22,18 @@ from ..types import SlamState
 
 
 def save_state(path: str, state: SlamState) -> None:
-    leaves, _ = jax.tree.flatten(state)
+    # quads are derived data (cached prob grids, 4x the map size):
+    # excluded from the checkpoint and recomputed on load
+    slim = state._replace(quads=())
+    leaves, _ = jax.tree.flatten(slim)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     arrays["num_levels"] = np.asarray(len(state.log_odds))
     np.savez_compressed(path, **arrays)
 
 
 def load_state(path: str, cfg: SlamConfig) -> SlamState:
-    from ..core.slam import init_state
-    template = init_state(cfg)
+    from ..core.slam import _quads_of, init_state
+    template = init_state(cfg)._replace(quads=())
     template_leaves, treedef = jax.tree.flatten(template)
     with np.load(path) as z:
         n = int(z["num_levels"])
@@ -45,7 +48,8 @@ def load_state(path: str, cfg: SlamConfig) -> SlamState:
         if got.shape != want.shape:
             raise ValueError(
                 f"checkpoint leaf shape {got.shape} != config {want.shape}")
-    return state
+    return state._replace(
+        quads=_quads_of(state.log_odds, cfg.update.cell_model))
 
 
 def save_state_orbax(path: str, state: SlamState) -> bool:
@@ -65,7 +69,9 @@ def load_state_orbax(path: str, cfg: SlamConfig) -> Optional[SlamState]:
     except ImportError:
         return None
     from ..core.slam import init_state
+    from ..core.slam import _quads_of
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(os.path.abspath(path),
                              item=init_state(cfg))
-    return restored
+    return restored._replace(
+        quads=_quads_of(restored.log_odds, cfg.update.cell_model))

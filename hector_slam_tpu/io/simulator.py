@@ -42,6 +42,38 @@ class World:
         return World(np.asarray(segs, np.float64))
 
     @staticmethod
+    def l_corridor(leg_x: float = 12.0, leg_y: float = 14.0,
+                   width: float = 3.0, with_clutter: bool = True) -> "World":
+        """An L-shaped corridor (horizontal leg along +x, vertical leg
+        along +y) — long grazing-incidence walls, a 90-degree turn, and
+        pillar/box clutter. The realistic-log fixture world
+        (tools/make_fixture.py)."""
+        hw = width / 2.0
+        x1 = leg_x               # outer right wall x
+        x0 = leg_x - width       # inner left wall x of the vertical leg
+        segs: List[Tuple[float, float, float, float]] = [
+            (-2.0, -hw, x1, -hw),        # bottom wall
+            (x1, -hw, x1, leg_y),        # outer right wall (vertical leg)
+            (x1, leg_y, x0, leg_y),      # top cap
+            (x0, leg_y, x0, hw),         # inner left wall (vertical leg)
+            (x0, hw, -2.0, hw),          # top wall (horizontal leg)
+            (-2.0, -hw, -2.0, hw),       # start cap
+        ]
+        if with_clutter:
+            # boxes along the horizontal leg
+            for bx, by, s in [(2.5, -0.9, 0.35), (5.5, 0.8, 0.4),
+                              (8.0, -0.6, 0.3)]:
+                segs += box(bx, by, s)
+            # thin pillars (grazing + small features)
+            for px, py in [(4.0, 0.2), (7.0, -0.2), (x0 + hw, 4.0),
+                           (x0 + hw - 0.6, 8.0)]:
+                segs += box(px, py, 0.12)
+            # boxes in the vertical leg
+            for bx, by, s in [(x0 + 0.7, 6.0, 0.35), (x1 - 0.7, 10.0, 0.4)]:
+                segs += box(bx, by, s)
+        return World(np.asarray(segs, np.float64))
+
+    @staticmethod
     def room(size: float = 12.0, with_clutter: bool = True) -> "World":
         h = size / 2.0
         segs = [(-h, -h, h, -h), (h, -h, h, h), (h, h, -h, h), (-h, h, -h, -h)]
@@ -115,6 +147,38 @@ def corridor_trajectory(num_steps: int = 60, advance: float = 0.25,
     y = weave * np.sin(t * 0.3)
     theta = weave * 1.2 * np.cos(t * 0.3)
     return np.stack([x, y, theta], axis=-1).astype(np.float32)
+
+
+def l_corridor_trajectory(advance: float = 0.05, weave: float = 0.03,
+                          leg_x: float = 12.0, leg_y: float = 14.0,
+                          width: float = 3.0) -> np.ndarray:
+    """Drive down the horizontal leg of World.l_corridor, take the
+    90-degree left turn, continue up the vertical leg. Step size
+    ``advance`` (m), gentle weave; heading follows the path tangent."""
+    cx = leg_x - width / 2.0      # vertical-leg centerline x
+    turn_r = width / 2.0 + 0.3    # turn radius around the inner corner
+    # straight along +x until the turn entry
+    x_end = cx - turn_r
+    n1 = max(2, int(round(x_end / advance)))
+    t1 = np.arange(n1)
+    p1 = np.stack([t1 * advance,
+                   weave * np.sin(t1 * 0.25),
+                   weave * 1.2 * np.cos(t1 * 0.25)], axis=-1)
+    # quarter-circle turn: center (x_end, turn_r)
+    arc_len = 0.5 * np.pi * turn_r
+    n2 = max(4, int(round(arc_len / advance)))
+    a = np.linspace(-np.pi / 2.0, 0.0, n2, endpoint=False)
+    p2 = np.stack([x_end + turn_r * np.cos(a),
+                   turn_r + turn_r * np.sin(a),
+                   a + np.pi / 2.0], axis=-1)
+    # straight along +y to near the cap
+    y_start = turn_r
+    n3 = max(2, int(round((leg_y - 2.0 - y_start) / advance)))
+    t3 = np.arange(n3)
+    p3 = np.stack([cx + weave * np.sin(t3 * 0.25),
+                   y_start + t3 * advance,
+                   np.pi / 2.0 + weave * 1.2 * np.cos(t3 * 0.25)], axis=-1)
+    return np.concatenate([p1, p2, p3]).astype(np.float32)
 
 
 def room_trajectory(num_steps: int = 80, radius: float = 2.5) -> np.ndarray:

@@ -61,6 +61,8 @@ def _state_specs(cfg: SlamConfig) -> SlamState:
         covariance=P("robot", None, None),
         step=P("robot"),
         map_update_count=P("robot"),
+        quads=tuple(P("robot", None, None)
+                    for _ in range(cfg.map.levels)),
     )
 
 
@@ -104,7 +106,8 @@ def _metrics_specs():
     return StepMetrics(pose_delta=P("robot", None),
                        map_updated=P("robot"),
                        hessian_det=P("robot"),
-                       num_valid_beams=P("robot"))
+                       num_valid_beams=P("robot"),
+                       truncated_free_cells=P("robot"))
 
 
 def shard_fleet_state(state: SlamState, mesh: Mesh,

@@ -46,6 +46,12 @@ class SlamState(NamedTuple):
     covariance: jnp.ndarray                # f32[3,3] last raw Hessian
     step: jnp.ndarray                      # i32[] scan counter
     map_update_count: jnp.ndarray          # i32[] number of accepted updates
+    quads: Tuple[jnp.ndarray, ...] = ()    # (f32[H_i*W_i, 4], ...) per level:
+    #   quad-packed probability grids derived from log_odds, recomputed
+    #   only when the map-update gate fires — the TPU-native equivalent of
+    #   the reference's epoch cache (GridMapCacheArray.h:69-72), which
+    #   exists so the matcher never re-derives probabilities per scan.
+    #   Cheap derived data: excluded from checkpoints (io/checkpoint.py)
 
 
 class StepMetrics(NamedTuple):
