@@ -128,11 +128,16 @@ def slam_step(
         map_update_count=state.map_update_count + do_update.astype(jnp.int32),
         quads=new_quads,
     )
+    num_valid = jnp.sum(scan.mask).astype(jnp.int32)
+    if beam_axis is not None:
+        # the scan's beam axis is sharded: metrics must reduce over it or
+        # each replica reports only its local shard's count
+        num_valid = jax.lax.psum(num_valid, beam_axis)
     metrics = StepMetrics(
         pose_delta=new_pose - state.pose,
         map_updated=do_update,
         hessian_det=det3(hessian),
-        num_valid_beams=jnp.sum(scan.mask).astype(jnp.int32),
+        num_valid_beams=num_valid,
         truncated_free_cells=truncated,
     )
     return new_state, metrics

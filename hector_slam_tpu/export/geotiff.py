@@ -397,12 +397,23 @@ def write_geotiff(occ_grid, meta: GridMeta, base_path: str,
                   path_world: Optional[np.ndarray] = None,
                   draw_explored_grid: bool = True,
                   draw_coords: bool = True,
-                  objects: Sequence = ()) -> Tuple[str, str]:
+                  objects: Sequence = (),
+                  draw_fns: Sequence = ()) -> Tuple[str, str]:
     """One-call export: map (+ optional trajectory, coordinate overlay,
     objects of interest) -> .png + .tfw. ``objects`` entries are
     (world_xy, txt) or (world_xy, txt, color) or
     (world_xy, txt, color, shape) tuples (the MapWriterInterface
-    drawObjectOfInterest plugin hook, map_writer_interface.h:42-59)."""
+    drawObjectOfInterest plugin hook, map_writer_interface.h:42-59).
+
+    ``draw_fns``: the writer-PLUGIN extension seam
+    (hector_geotiff/map_writer_plugin_interface.h:36-43 — the pluginlib
+    hook the geotiff node runs after drawing the map,
+    geotiff_node.cpp:225-240): each callable receives the live
+    ``GeotiffExporter`` (the MapWriterInterface analog — draw_path,
+    draw_object_of_interest, world_geo transforms, raw image access) and
+    draws whatever it wants before the file is written. The builtin
+    trajectory drawing is exactly such a plugin in the reference
+    (trajectory_geotiff_plugin.cpp:89-117)."""
     exp = GeotiffExporter(occ_grid, meta)
     exp.draw_map(draw_explored_grid)
     if draw_coords:
@@ -411,4 +422,6 @@ def write_geotiff(occ_grid, meta: GridMeta, base_path: str,
         exp.draw_path(path_world)
     for obj in objects:
         exp.draw_object_of_interest(*obj)
+    for fn in draw_fns:
+        fn(exp)
     return exp.write(base_path)

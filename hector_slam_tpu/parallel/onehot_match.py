@@ -78,12 +78,13 @@ def _transform(poses_map: jnp.ndarray, points: jnp.ndarray):
     return tx, ty
 
 
-def _patch_dims(grid_shape):
+def _patch_dims(grid_shape, patch_h=PATCH_H, patch_w=PATCH_W):
     h, w = grid_shape
-    return min(PATCH_H, h), min(PATCH_W, w)
+    return min(patch_h, h), min(patch_w, w)
 
 
-def _cells_and_extents(grid_shape, poses_map, points, mask, num_buckets):
+def _cells_and_extents(grid_shape, poses_map, points, mask, num_buckets,
+                       patch_h=PATCH_H, patch_w=PATCH_W):
     """Shared prologue: sorted poses, per-query cells/fracs, per-
     (bucket, beam-group) patch bases, and the fast-path validity bit.
     Masked (padded) beams neither constrain the patch bases nor the
@@ -109,7 +110,7 @@ def _cells_and_extents(grid_shape, poses_map, points, mask, num_buckets):
     # they don't drag the patch base (min) toward the scan origin
     xi_m = jnp.where(mask[None, :], xi, w - 2)
     yi_m = jnp.where(mask[None, :], yi, h - 2)
-    ph, pw = _patch_dims(grid_shape)
+    ph, pw = _patch_dims(grid_shape, patch_h, patch_w)
     xi_b = xi_m.reshape(num_buckets, s_per, ng, GROUP)
     yi_b = yi_m.reshape(num_buckets, s_per, ng, GROUP)
     x0 = jnp.clip(jnp.min(xi_b, axis=(1, 3)), 0, w - pw)   # [G, NG]
@@ -122,7 +123,8 @@ def _cells_and_extents(grid_shape, poses_map, points, mask, num_buckets):
 
 
 def _normal_eqs_fast(grid, shape, order, pm, in_bounds, fx, fy, cx, ry,
-                     x0, y0, points, mask, num_buckets):
+                     x0, y0, points, mask, num_buckets,
+                     patch_h=PATCH_H, patch_w=PATCH_W, onehot_bf16=False):
     """(H [B,3,3], dTr [B,3]) via the bucketed one-hot selection."""
     b_total = pm.shape[0]
     s_per = b_total // num_buckets
@@ -138,7 +140,7 @@ def _normal_eqs_fast(grid, shape, order, pm, in_bounds, fx, fy, cx, ry,
     py = points[:, 1]
     mask_n = mask[:, None]
 
-    ph, pw = _patch_dims(shape)
+    ph, pw = _patch_dims(shape, patch_h, patch_w)
     r_iota = jnp.arange(ph, dtype=jnp.int32)
     c_iota = jnp.arange(pw, dtype=jnp.int32)
 
@@ -157,10 +159,39 @@ def _normal_eqs_fast(grid, shape, order, pm, in_bounds, fx, fy, cx, ry,
         cx_g = jnp.transpose(cx[g], (1, 2, 0)).reshape(ng, GROUP * s_per)
         ry_g = jnp.transpose(ry[g], (1, 2, 0)).reshape(ng, GROUP * s_per)
 
-        oc = (cx_g[..., None] == c_iota).astype(jnp.float32)
-        v00 = jnp.einsum("prc,pqc->pqr", patches, oc,
-                         precision=_EXACT)           # [NG, 8S, ph]
-        v01 = jnp.einsum("prc,pqc->pqr", patches_r, oc, precision=_EXACT)
+        if onehot_bf16:
+            # exact bf16 decomposition: the one-hot is exactly
+            # representable in bf16, and patch = hi + mid + lo exactly
+            # (3 x 8 mantissa bits cover f32's 24); each selected output
+            # has ONE nonzero product per part, so hi_v + mid_v + lo_v
+            # reassembles the exact f32 cell value. Same flop count as
+            # precision=HIGH (bf16x3) but the materialized one-hot is
+            # 2 bytes/element instead of 4 — half the HBM traffic that
+            # ceilings this matcher.
+            oc = (cx_g[..., None] == c_iota).astype(jnp.bfloat16)
+            hi = patches.astype(jnp.bfloat16)
+            r1 = patches - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def sel(part):
+                return jnp.einsum("prc,pqc->pqr", part, oc,
+                                  preferred_element_type=jnp.float32)
+            v00 = sel(hi) + (sel(mid) + sel(lo))
+            hi_r = jnp.roll(hi, -1, axis=2)
+            mid_r = jnp.roll(mid, -1, axis=2)
+            lo_r = jnp.roll(lo, -1, axis=2)
+
+            def sel_r(part):
+                return jnp.einsum("prc,pqc->pqr", part, oc,
+                                  preferred_element_type=jnp.float32)
+            v01 = sel_r(hi_r) + (sel_r(mid_r) + sel_r(lo_r))
+        else:
+            oc = (cx_g[..., None] == c_iota).astype(jnp.float32)
+            v00 = jnp.einsum("prc,pqc->pqr", patches, oc,
+                             precision=_EXACT)       # [NG, 8S, ph]
+            v01 = jnp.einsum("prc,pqc->pqr", patches_r, oc,
+                             precision=_EXACT)
         or0 = (ry_g[..., None] == r_iota).astype(jnp.float32)
         or1 = (ry_g[..., None] + 1 == r_iota).astype(jnp.float32)
         p00 = jnp.einsum("pqr,pqr->pq", v00, or0, precision=_EXACT)
@@ -207,18 +238,21 @@ def _normal_eqs_fast(grid, shape, order, pm, in_bounds, fx, fy, cx, ry,
 
 
 def gn_step_batch(grid, quad, shape, estimates_map, points, mask,
-                  num_buckets):
+                  num_buckets, patch_h=PATCH_H, patch_w=PATCH_W,
+                  onehot_bf16=False):
     """One batched GN step: bucketed-MXU normal equations with exact
     quad-gather fallback, then the guarded/clamped solve per hypothesis
     (ScanMatcher.h:194-226 semantics, vectorized). Only the cheap extent
     check runs unconditionally; lax.cond executes exactly one of the two
     heavy paths at runtime."""
     (order, pm, in_bounds, fx, fy, cx, ry, x0, y0, ok) = \
-        _cells_and_extents(shape, estimates_map, points, mask, num_buckets)
+        _cells_and_extents(shape, estimates_map, points, mask, num_buckets,
+                           patch_h, patch_w)
 
     def use_fast(_):
         return _normal_eqs_fast(grid, shape, order, pm, in_bounds, fx, fy,
-                                cx, ry, x0, y0, points, mask, num_buckets)
+                                cx, ry, x0, y0, points, mask, num_buckets,
+                                patch_h, patch_w, onehot_bf16)
 
     def use_slow(_):
         f = jax.vmap(lambda p: hessian_derivs_quad(quad, shape, p, points,
@@ -244,6 +278,9 @@ def match_hypotheses_mxu(
     scan: Scan,
     cfg: SlamConfig,
     num_buckets: int = 0,       # 0 -> min(16, max(2, B // 1024))
+    patch_h: int = PATCH_H,
+    patch_w: int = PATCH_W,
+    onehot_bf16: bool = False,
 ) -> MatchResult:
     """Drop-in replacement for parallel.batch.match_hypotheses running
     the coarse-to-fine pyramid with the MXU fast path. Exact neighbor
@@ -290,7 +327,8 @@ def match_hypotheses_mxu(
         est = jax.vmap(lambda p: world_to_map_pose(p, offset, scale))(poses)
         for _ in range(iters + 1):
             est, hess = gn_step_batch(grid, quad, shape, est, pts,
-                                      scan.mask, num_buckets)
+                                      scan.mask, num_buckets, patch_h,
+                                      patch_w, onehot_bf16)
         est = est.at[:, 2].set(jax.vmap(normalize_angle)(est[:, 2]))
         world = jax.vmap(lambda e: map_to_world_pose(
             e, offset, mcfg.level_resolution(level)))(est)
@@ -300,4 +338,6 @@ def match_hypotheses_mxu(
 
 
 match_hypotheses_mxu_jit = jax.jit(
-    match_hypotheses_mxu, static_argnames=("cfg", "num_buckets"))
+    match_hypotheses_mxu,
+    static_argnames=("cfg", "num_buckets", "patch_h", "patch_w",
+                     "onehot_bf16"))

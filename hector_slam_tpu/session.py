@@ -171,10 +171,12 @@ class SlamSession:
         return to_occupancy_grid(self.state.log_odds[level])
 
     def save_geotiff(self, base_path: str, with_trajectory: bool = True,
-                     objects=()) -> tuple:
+                     objects=(), draw_fns=()) -> tuple:
         """syscommand "savegeotiff" equivalent (geotiff_node.cpp:255-262):
         renders the current level-0 map (+ recorded trajectory + objects
-        of interest) to <base>.png + <base>.tfw."""
+        of interest) to <base>.png + <base>.tfw. ``draw_fns`` are writer
+        plugins (map_writer_plugin_interface.h:36-43): callables that
+        receive the live exporter and draw before the file is written."""
         from .export.geotiff import write_geotiff
         # render directly from state: the reference's geotiff node pulls
         # the map via its own service call and does not consume the map
@@ -186,7 +188,7 @@ class SlamSession:
         if path is not None and not len(path):
             path = None
         return write_geotiff(occ, self.meta, base_path, path_world=path,
-                             objects=objects)
+                             objects=objects, draw_fns=draw_fns)
 
     def timing_stats(self) -> dict:
         """output_timing equivalent, aggregated."""

@@ -360,3 +360,68 @@ def test_markers():
     assert segs.shape == (3, 4)
     np.testing.assert_allclose(segs[0], [1.0, 2.0, 1.5, 2.0], atol=1e-6)
     assert pose_markers(np.zeros((4, 3))).shape == (12, 4)
+
+
+def test_geotiff_plugin_draw_fns(tmp_path):
+    """The writer-plugin seam (map_writer_plugin_interface.h:36-43): a
+    user callable receives the live exporter and can draw; its pixels
+    land in the written image."""
+    from hector_slam_tpu.export.geotiff import write_geotiff
+    from hector_slam_tpu.export.occupancy import grid_meta
+    from hector_slam_tpu.config import MapConfig
+
+    mcfg = MapConfig(resolution=0.1, size_x=64, size_y=64, levels=1)
+    occ = np.full((64, 64), -1, np.int8)
+    occ[20:40, 20:40] = 0
+    occ[25, 25] = 100
+    calls = []
+
+    def my_plugin(writer):
+        calls.append(writer)
+        writer.draw_object_of_interest((0.2, 0.3), "P")
+
+    png, tfw = write_geotiff(occ, grid_meta(mcfg), str(tmp_path / "plug"),
+                             draw_fns=[my_plugin])
+    assert len(calls) == 1 and os.path.exists(png)
+    base = write_geotiff(occ, grid_meta(mcfg), str(tmp_path / "base"))
+    import hashlib
+    h1 = hashlib.md5(open(png, "rb").read()).hexdigest()
+    h2 = hashlib.md5(open(base[0], "rb").read()).hexdigest()
+    assert h1 != h2, "plugin drawing must change the image"
+
+
+def test_imu_pose_fuser_odometry_product():
+    """hector_imu_tools' full node behavior
+    (pose_and_orientation_to_imu_node.cpp:65-159): tf chain per pose,
+    fused attitude per IMU message, odometry every 5th IMU message."""
+    from hector_slam_tpu.io.attitude import (ImuPoseFuser,
+                                             quaternion_to_rpy,
+                                             rpy_to_quaternion)
+    f = ImuPoseFuser()
+    imu = rpy_to_quaternion(0.1, -0.2, 2.0)  # IMU yaw must be discarded
+
+    # before any pose: fused yaw is 0, no odometry
+    fused, odom = f.on_imu(imu)
+    r, p, y = quaternion_to_rpy(fused["orientation"])
+    assert abs(r - 0.1) < 1e-6 and abs(p + 0.2) < 1e-6 and abs(y) < 1e-6
+    assert odom is None
+
+    tf_map, tf_stab = f.on_pose((1.0, 2.0), yaw=0.7, stamp=1.0)
+    assert tf_map["parent"] == "map"
+    assert tf_map["child"] == "base_footprint"
+    assert tf_map["translation"] == (1.0, 2.0, 0.0)
+    _, _, yaw_tf = quaternion_to_rpy(tf_map["rotation"])
+    assert abs(yaw_tf - 0.7) < 1e-6
+    assert tf_stab["child"] == "base_stabilized"
+    assert tf_stab["rotation"] == (0.0, 0.0, 0.0, 1.0)
+
+    # IMU msgs 1..5 after the pose: odometry on the 5th (count % 5 == 0)
+    odoms = []
+    for i in range(1, 6):
+        fused, odom = f.on_imu(imu, stamp=float(i))
+        r, p, y = quaternion_to_rpy(fused["orientation"])
+        assert abs(y - 0.7) < 1e-6  # SLAM yaw, not IMU yaw
+        odoms.append(odom)
+    assert [o is not None for o in odoms] == [False, False, False, False,
+                                              True]
+    assert odoms[-1]["position"] == (1.0, 2.0, 0.0)
