@@ -37,8 +37,19 @@ def probe(name, make_kernel, reps_lo, reps_hi, units_per_rep=1.0):
         a_lo, a_hi = args_lo(), args_hi()
         _time_call(f_lo, a_lo)   # compile + warm
         _time_call(f_hi, a_hi)
-        t_lo = min(_time_call(f_lo, args_lo()) for _ in range(3))
-        t_hi = min(_time_call(f_hi, args_hi()) for _ in range(3))
+
+        def _fresh(args_fn):
+            # pre-transfer fresh inputs BEFORE the timed region: varying
+            # inputs defeat the tunnel's identical-dispatch cache, while
+            # the up-front device_put keeps host->device transfer out of
+            # the min-of-3 estimate (it cancels in the lo/hi difference
+            # but adds jitter)
+            a = [jax.device_put(x) for x in args_fn()]
+            jax.block_until_ready(a)
+            return a
+
+        t_lo = min(_time_call(f_lo, _fresh(args_lo)) for _ in range(3))
+        t_hi = min(_time_call(f_hi, _fresh(args_hi)) for _ in range(3))
         dt = (t_hi - t_lo) / (reps_hi - reps_lo)
         print(f"{name}: {dt*1e9:.1f} ns/rep | {dt*1e9/units_per_rep:.3f} "
               f"ns/unit | lo={t_lo*1e3:.1f}ms hi={t_hi*1e3:.1f}ms")
@@ -148,7 +159,12 @@ def matmul_stationary(m=8192, k=128, n=128):
 def dyn_slice(grid_hw=(1024, 1024), patch=(32, 128), mode="both"):
     """Dynamic-offset slice loads from a VMEM-resident grid.
     mode: 'both' = dynamic y and x; 'y' = dynamic y, x static 0;
-    'xal' = x aligned to 128."""
+    'xal' = x aligned to 128.
+
+    Note: each iteration's slice offset depends only on the loop index
+    (the accumulator feeds only the adds), so Mosaic may pipeline loads
+    across iterations — this probe measures slice THROUGHPUT, not
+    serialized latency."""
     gh, gw = grid_hw
     ph, pw = patch
 
