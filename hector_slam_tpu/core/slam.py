@@ -82,6 +82,23 @@ def slam_step(
         new_pose = result.pose
         hessian = result.hessian
 
+    return _finish_step(state, scan, cfg, new_pose, hessian,
+                        map_without_matching, beam_axis)
+
+
+def _finish_step(
+    state: SlamState,
+    scan: Scan,
+    cfg: SlamConfig,
+    new_pose: jnp.ndarray,
+    hessian: jnp.ndarray,
+    map_without_matching: bool = False,
+    beam_axis: Optional[str] = None,
+) -> Tuple[SlamState, StepMetrics]:
+    """The gate -> conditional-map-update -> state-assembly tail of
+    slam_step (HectorSlamProcessor.h:89-113), split out so the match and
+    update phases can be timed as separate device programs
+    (SlamSession(timing_mode="phases"), SURVEY.md §5 per-phase timing)."""
     do_update = pose_difference_larger_than(
         new_pose, state.last_map_update_pose,
         cfg.map_update_distance_thresh, cfg.map_update_angle_thresh)
@@ -151,6 +168,34 @@ def slam_step_jit(state: SlamState, scan: Scan, cfg: SlamConfig,
     """Jitted per-scan step. The input state is donated: the log-odds
     pyramid is updated in place on-device (no HBM copy per scan)."""
     return slam_step(state, scan, cfg, pose_hint, map_without_matching)
+
+
+@partial(jax.jit, static_argnames=("cfg", "map_without_matching"))
+def match_phase_jit(state: SlamState, scan: Scan, cfg: SlamConfig,
+                    pose_hint: Optional[jnp.ndarray] = None,
+                    map_without_matching: bool = False):
+    """The match half of slam_step as its own device program — the
+    per-phase timing split SURVEY.md §5 prescribes (the reference's
+    closest analog is output_timing, HectorMappingRos.cpp:329-333,
+    which times only the whole callback). Returns (new_pose, hessian);
+    feed them to update_phase_jit. Chaining the two phases produces the
+    same result as slam_step (same ops, two programs)."""
+    hint = state.pose if pose_hint is None else pose_hint
+    if map_without_matching:
+        return hint, state.covariance
+    result = match_pyramid(state.log_odds, hint, scan, cfg,
+                           quads=state.quads)
+    return result.pose, result.hessian
+
+
+@partial(jax.jit, static_argnames=("cfg", "map_without_matching"),
+         donate_argnums=(0,))
+def update_phase_jit(state: SlamState, scan: Scan, cfg: SlamConfig,
+                     new_pose: jnp.ndarray, hessian: jnp.ndarray,
+                     map_without_matching: bool = False):
+    """The gate + map-update half of slam_step (see match_phase_jit)."""
+    return _finish_step(state, scan, cfg, new_pose, hessian,
+                        map_without_matching)
 
 
 def run_log(state: SlamState, scans: Scan, cfg: SlamConfig):

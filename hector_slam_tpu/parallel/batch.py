@@ -49,14 +49,17 @@ def residual_for_poses(
     poses_world: jnp.ndarray,   # f32[H, 3]
     scan: Scan,
     cfg: SlamConfig,
+    quad: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Map-match residual sum(1 - M) per pose on the finest level — the
     reference's getResidualForState (OccGridMapUtil.h:204-221), batched.
-    Used to score hypotheses."""
+    Used to score hypotheses. ``quad``: optional pre-packed prob quads
+    (SlamState.quads[0], the epoch cache) to avoid repacking per call."""
     offset = cfg.map.top_left_offset
     scale = cfg.map.level_scale(0)
 
-    quad = quad_pack_storage(log_odds, cfg.update.cell_model)
+    if quad is None:
+        quad = quad_pack_storage(log_odds, cfg.update.cell_model)
     shape = log_odds.shape[-2:]
 
     def one(pose):

@@ -261,3 +261,85 @@ def test_session_save_geotiff(tmp_path):
         sess.process_ranges(r)
     png, tfw = sess.save_geotiff(str(tmp_path / "session_map"))
     assert os.path.exists(png) and os.path.exists(tfw)
+
+
+def test_phases_timing_mode_identical_results():
+    """timing_mode='phases' splits match/update into two device programs
+    for per-phase timing (SURVEY.md §5) and must produce the same
+    trajectory as the single-program step."""
+    from hector_slam_tpu.config import MapConfig, SlamConfig
+    from hector_slam_tpu.session import SlamSession
+    from hector_slam_tpu.io.scanlog import LaserModel
+    from hector_slam_tpu.io.simulator import (World, corridor_trajectory,
+                                              simulate_trajectory)
+    cfg = SlamConfig(map=MapConfig(resolution=0.1, size_x=128, size_y=128,
+                                   levels=2), max_beams=128,
+                     max_ray_cells=64)
+    laser = LaserModel(num_beams=91, angle_min=-1.57,
+                       angle_increment=0.0349, range_min=0.1,
+                       range_max=5.0)
+    world = World.room(size=5.0)
+    poses = corridor_trajectory(5, advance=0.05, weave=0.0)
+    ranges = simulate_trajectory(world, poses, laser)
+
+    s1 = SlamSession(cfg, laser)
+    s2 = SlamSession(cfg, laser, timing_mode="phases")
+    p1 = [s1.process_ranges(r) for r in ranges]
+    p2 = [s2.process_ranges(r) for r in ranges]
+    # same ops in two programs: identical up to FMA-contraction ulps
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-5, atol=1e-5)
+    st = s2.timing_stats()
+    assert st["count"] == 5
+    for k in ("match_p50_ms", "update_p50_ms", "match_mean_ms",
+              "update_mean_ms"):
+        assert k in st and st[k] >= 0.0
+    assert "match_p50_ms" not in s1.timing_stats()
+
+    import pytest
+    with pytest.raises(ValueError):
+        SlamSession(cfg, laser, timing_mode="bogus")
+
+
+def test_relocalize_recovers_kidnapped_robot():
+    """Round-2 VERDICT next-step #4: kidnap the robot mid-log; one
+    relocalize() call must recover the pose within a scan."""
+    from hector_slam_tpu.config import MapConfig, SlamConfig
+    from hector_slam_tpu.session import SlamSession
+    from hector_slam_tpu.io.scanlog import LaserModel
+    from hector_slam_tpu.io.simulator import (World, corridor_trajectory,
+                                              simulate_trajectory)
+    cfg = SlamConfig(map=MapConfig(resolution=0.05, size_x=256, size_y=256,
+                                   levels=2), max_beams=192,
+                     max_ray_cells=256)
+    laser = LaserModel(num_beams=181, angle_min=-1.57,
+                       angle_increment=np.pi / 180, range_min=0.1,
+                       range_max=8.0)
+    sess = SlamSession(cfg, laser)
+    world = World.corridor(length=10.0, width=3.0)
+    poses_true = corridor_trajectory(20, advance=0.05, weave=0.02)
+    ranges = simulate_trajectory(world, poses_true, laser,
+                                 range_noise_std=0.003)
+    for r in ranges:
+        sess.process_ranges(r)
+    good_pose = sess.pose.copy()
+
+    # kidnap: teleport the believed pose well outside GN's basin
+    sess.state = sess.state._replace(
+        pose=jnp.asarray(good_pose + np.asarray([0.6, -0.5, 0.25],
+                                                np.float32)))
+    out = sess.relocalize(n_hypotheses=256, sigma_xy=0.6, sigma_theta=0.3,
+                          seed=3, use_pallas=False)
+    assert out["accepted"]
+    err = np.linalg.norm(out["pose"][:2] - good_pose[:2])
+    assert err < 0.1, (err, out)
+    assert abs(float(out["pose"][2] - good_pose[2])) < 0.05
+    # the next scan must keep tracking from the recovered pose
+    p_next = sess.process_ranges(ranges[-1])
+    assert np.linalg.norm(p_next[:2] - good_pose[:2]) < 0.1
+
+    # no scan processed yet -> clear error
+    fresh = SlamSession(cfg, laser)
+    import pytest
+    with pytest.raises(ValueError):
+        fresh.relocalize()
