@@ -357,6 +357,56 @@ def _window_bases(tx, ty, mask, shape, s_per, wr, wc):
     return y0f.astype(jnp.int32), x0f.astype(jnp.int32), bad
 
 
+def bad_query_corrections(
+    quad: jnp.ndarray,        # f32[H*W, 4] quad-packed prob grid
+    shape: Tuple[int, int],
+    tx: jnp.ndarray,          # f32[B, N] map-frame query coords
+    ty: jnp.ndarray,
+    sin_t: jnp.ndarray,       # f32[B]
+    cos_t: jnp.ndarray,
+    points: jnp.ndarray,      # f32[N, 2]
+    bad: jnp.ndarray,         # bool[B, N] queries to re-evaluate
+    k_budget: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact moment contributions of the ``bad`` queries, via budgeted
+    nonzero-compaction + quad-gather + segment-sum. Returns
+    (h_corr f32[B,3,3], d_corr f32[B,3]) to ADD to a fast path that
+    zeroed those queries. Only the first ``k_budget`` bad queries are
+    covered — callers must check jnp.sum(bad) <= k_budget and take a
+    full fallback otherwise. Shared by the Pallas wrapper and the
+    one-hot MXU matcher's granular fallback."""
+    b_total, n = tx.shape
+    flat_idx = jnp.nonzero(bad.reshape(-1), size=k_budget, fill_value=0)[0]
+    n_bad = jnp.sum(bad).astype(jnp.int32)
+    valid = (jnp.arange(k_budget) < n_bad)
+    b_i = flat_idx // n
+    n_i = flat_idx % n
+    txq = tx.reshape(-1)[flat_idx]
+    tyq = ty.reshape(-1)[flat_idx]
+    m, gx, gy = interp_quad(quad, shape, jnp.stack([txq, tyq], axis=-1))
+    pxq = points[n_i, 0]
+    pyq = points[n_i, 1]
+    s_q = sin_t[b_i]
+    c_q = cos_t[b_i]
+    rot = (-s_q * pxq - c_q * pyq) * gx + (c_q * pxq - s_q * pyq) * gy
+    zero = jnp.float32(0.0)
+    m = jnp.where(valid, m, zero)
+    gx = jnp.where(valid, gx, zero)
+    gy = jnp.where(valid, gy, zero)
+    rot = jnp.where(valid, rot, zero)
+    fun = jnp.where(valid, np.float32(1.0) - m, zero)
+    terms = jnp.stack([gx * gx, gx * gy, gx * rot,
+                       gy * gy, gy * rot, rot * rot,
+                       gx * fun, gy * fun, rot * fun], axis=-1)  # [K, 9]
+    corr = jax.ops.segment_sum(terms, b_i, num_segments=b_total)
+    h_corr = jnp.stack([
+        jnp.stack([corr[:, 0], corr[:, 1], corr[:, 2]], -1),
+        jnp.stack([corr[:, 1], corr[:, 3], corr[:, 4]], -1),
+        jnp.stack([corr[:, 2], corr[:, 4], corr[:, 5]], -1),
+    ], -2)
+    return h_corr, corr[:, 6:9]
+
+
 def repair_moments(
     quad: jnp.ndarray,        # f32[H*W, 4] quad-packed prob grid
     shape: Tuple[int, int],
@@ -375,7 +425,6 @@ def repair_moments(
     ``overflowed`` is True when n_bad > k_budget: the repair is then
     incomplete and the caller must take the full fallback path.
     """
-    b_total, n = poses_map.shape[0], points.shape[0]
     tx, ty, sin_t, cos_t = _transform_batch(poses_map, points)
     _, _, bad = _window_bases(tx, ty, mask, shape, s_per, wr, wc)
     n_bad = jnp.sum(bad).astype(jnp.int32)
@@ -384,36 +433,9 @@ def repair_moments(
         return hess, dtr
 
     def with_repair(_):
-        flat_idx = jnp.nonzero(bad.reshape(-1), size=k_budget,
-                               fill_value=0)[0]
-        valid = (jnp.arange(k_budget) < n_bad)
-        b_i = flat_idx // n
-        n_i = flat_idx % n
-        txq = tx.reshape(-1)[flat_idx]
-        tyq = ty.reshape(-1)[flat_idx]
-        m, gx, gy = interp_quad(quad, shape,
-                                jnp.stack([txq, tyq], axis=-1))
-        pxq = points[n_i, 0]
-        pyq = points[n_i, 1]
-        s_q = sin_t[b_i]
-        c_q = cos_t[b_i]
-        rot = (-s_q * pxq - c_q * pyq) * gx + (c_q * pxq - s_q * pyq) * gy
-        zero = jnp.float32(0.0)
-        m = jnp.where(valid, m, zero)
-        gx = jnp.where(valid, gx, zero)
-        gy = jnp.where(valid, gy, zero)
-        rot = jnp.where(valid, rot, zero)
-        fun = jnp.where(valid, np.float32(1.0) - m, zero)
-        terms = jnp.stack([gx * gx, gx * gy, gx * rot,
-                           gy * gy, gy * rot, rot * rot,
-                           gx * fun, gy * fun, rot * fun], axis=-1)  # [K, 9]
-        corr = jax.ops.segment_sum(terms, b_i, num_segments=b_total)
-        h_corr = jnp.stack([
-            jnp.stack([corr[:, 0], corr[:, 1], corr[:, 2]], -1),
-            jnp.stack([corr[:, 1], corr[:, 3], corr[:, 4]], -1),
-            jnp.stack([corr[:, 2], corr[:, 4], corr[:, 5]], -1),
-        ], -2)
-        return hess + h_corr, dtr + corr[:, 6:9]
+        h_corr, d_corr = bad_query_corrections(
+            quad, shape, tx, ty, sin_t, cos_t, points, bad, k_budget)
+        return hess + h_corr, dtr + d_corr
 
     hess2, dtr2 = jax.lax.cond(n_bad > 0, with_repair, no_bad, None)
     return hess2, dtr2, n_bad, n_bad > jnp.int32(k_budget)
