@@ -5,8 +5,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The workload: 4096 perturbed start poses per batch, each running the full
 3-level coarse-to-fine Gauss-Newton pyramid (6+4+4 = 14 GN iterations,
 1081-beam scans padded to 1152) against a 1024^2 @ 0.05 m map built from
-simulated UTM-30LX data, via the theta-bucketed one-hot MXU matcher
-(parallel/onehot_match.py; exact selection with quad-gather fallback).
+simulated UTM-30LX data, via the Pallas VMEM matcher
+(parallel/pallas_match.py — the grid stays resident in VMEM and the
+bilinear fetch is an in-register lane shuffle; granular quad-gather
+repair for window-overflow queries). The theta-bucketed one-hot MXU
+matcher (parallel/onehot_match.py) is the documented fallback; run with
+HECTOR_BENCH_MATCHER=mxu to measure it.
 ``vs_baseline`` is the honest headline: the ratio to BASELINE.json's
 >=10,000 matches/s/chip target for this exact workload. The reference's
 only published capability — sequential matching at the sensor's 40 Hz
@@ -26,6 +30,7 @@ differencing two chain lengths.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -41,6 +46,14 @@ def main() -> None:
     from hector_slam_tpu.io.simulator import (World, corridor_trajectory,
                                               simulate_trajectory)
     from hector_slam_tpu.parallel.onehot_match import match_hypotheses_mxu
+    from hector_slam_tpu.parallel.pallas_match import match_hypotheses_pallas
+
+    variant = os.environ.get("HECTOR_BENCH_MATCHER", "pallas")
+    if variant == "pallas":
+        def matcher(pyr, poses, sc, cfg):
+            return match_hypotheses_pallas(pyr, poses, sc, cfg)[0]
+    else:
+        matcher = match_hypotheses_mxu
 
     cfg = BENCH_CONFIG
     laser = LaserModel()  # 1081-beam UTM-30LX
@@ -69,7 +82,7 @@ def main() -> None:
         @jax.jit
         def chain(pyramid, sc):
             def body(carry, seed):
-                result = match_hypotheses_mxu(
+                result = matcher(
                     pyramid, base + seed + 0.0 * carry.sum(), sc, cfg)
                 return jnp.mean(result.pose, axis=0), ()
 
@@ -102,6 +115,7 @@ def main() -> None:
         "vs_baseline": round(matches_per_s / target_rate, 2),
         "baseline": "BASELINE.json >=10k matches/s/chip target",
         "vs_sensor_rate_40hz": round(matches_per_s / sensor_rate, 1),
+        "matcher": variant,
     }))
 
 

@@ -30,8 +30,11 @@ from .parallel.batch import (best_hypothesis, fleet_step, fleet_step_jit,
                              match_hypotheses_jit)
 from .parallel.onehot_match import (match_hypotheses_mxu,
                                     match_hypotheses_mxu_jit)
+from .parallel.pallas_match import (match_hypotheses_pallas,
+                                    match_hypotheses_pallas_jit)
 from .query.raycast import get_normal
 from .export.markers import arrow_marker, covariance_ellipse, pose_markers
+from .session import SlamSession
 
 __version__ = "0.1.0"
 
@@ -55,5 +58,7 @@ __all__ = [
     "best_hypothesis", "fleet_step", "fleet_step_jit", "init_fleet",
     "match_hypotheses", "match_hypotheses_jit",
     "match_hypotheses_mxu", "match_hypotheses_mxu_jit",
+    "match_hypotheses_pallas", "match_hypotheses_pallas_jit",
     "get_normal", "arrow_marker", "covariance_ellipse", "pose_markers",
+    "SlamSession",
 ]

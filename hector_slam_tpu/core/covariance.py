@@ -23,8 +23,11 @@ def residual_for_state(log_odds: jnp.ndarray, pose_map: jnp.ndarray,
                        ) -> jnp.ndarray:
     """sum(1 - M) over beams (getResidualForState, :204-221)."""
     s, c = jnp.sin(pose_map[2]), jnp.cos(pose_map[2])
-    tx = c * scan.points[:, 0] - s * scan.points[:, 1] + pose_map[0]
-    ty = s * scan.points[:, 0] + c * scan.points[:, 1] + pose_map[1]
+    # Eigen affine fold order: m00*px + (m01*py + t) — the bit-validated
+    # association (core/interp.py:180-184); keeps this scorer 1-ulp
+    # consistent with parallel/batch.residual_for_poses
+    tx = c * scan.points[:, 0] + (-s * scan.points[:, 1] + pose_map[0])
+    ty = s * scan.points[:, 0] + (c * scan.points[:, 1] + pose_map[1])
     m, _, _ = interp_with_derivatives(
         log_odds, jnp.stack([tx, ty], axis=-1), cell_model)
     return jnp.sum(jnp.where(scan.mask, jnp.float32(1.0) - m, 0.0))

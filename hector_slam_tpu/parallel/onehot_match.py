@@ -266,6 +266,7 @@ def gn_step_batch(grid, quad, shape, estimates_map, points, mask,
 
     bad = in_bounds & mask[None, :] & ~fits_q
     n_bad = jnp.sum(bad).astype(jnp.int32)
+    overflowed = n_bad > jnp.int32(k_budget)
 
     def with_repair(_):
         from ..ops.pallas_interp import bad_query_corrections
@@ -274,13 +275,14 @@ def gn_step_batch(grid, quad, shape, estimates_map, points, mask,
             points, bad, k_budget)
         return hess_s + h_c, dtr_s + d_c
 
-    hess_s, dtr_s = jax.lax.cond(n_bad > 0, with_repair,
+    # past the budget the incomplete repair would be discarded by the
+    # full fallback below — gate it off so only ONE heavy path runs on
+    # the worst-case step (round-3 ADVICE #4)
+    hess_s, dtr_s = jax.lax.cond((n_bad > 0) & ~overflowed, with_repair,
                                  lambda _: (hess_s, dtr_s), None)
     inv = jnp.argsort(order)
     hess = hess_s[inv]
     dtr = dtr_s[inv]
-
-    overflowed = n_bad > jnp.int32(k_budget)
 
     def use_slow(_):
         f = jax.vmap(lambda p: hessian_derivs_quad(quad, shape, p, points,
@@ -348,7 +350,8 @@ def match_hypotheses_mxu(
     hess = jnp.zeros((b_total, 3, 3), jnp.float32)
     n_bad_total = jnp.zeros((), jnp.int32)
     overflow_steps = jnp.zeros((), jnp.int32)
-    total_queries = 0
+    slow_queries = jnp.zeros((), jnp.float32)
+    total_queries = 0.0   # host float: immune to i32 overflow (ADVICE #3)
     any_valid = jnp.any(scan.mask)
     for level in range(mcfg.levels - 1, -1, -1):
         factor = jnp.float32(1.0 / (2.0 ** level))
@@ -368,7 +371,10 @@ def match_hypotheses_mxu(
                 patch_h, patch_w, onehot_bf16, k_budget)
             n_bad_total = n_bad_total + jnp.where(ovf, 0, n_bad)
             overflow_steps = overflow_steps + ovf.astype(jnp.int32)
-            total_queries += b_total * pts.shape[0]
+            qcount = float(b_total * pts.shape[0])
+            slow_queries = slow_queries + jnp.where(
+                ovf, np.float32(qcount), n_bad.astype(jnp.float32))
+            total_queries += qcount
         est = est.at[:, 2].set(jax.vmap(normalize_angle)(est[:, 2]))
         world = jax.vmap(lambda e: map_to_world_pose(
             e, offset, mcfg.level_resolution(level)))(est)
@@ -378,7 +384,8 @@ def match_hypotheses_mxu(
     if with_diag:
         from .pallas_match import MatchDiag
         return result, MatchDiag(n_bad_total, overflow_steps,
-                                 jnp.int32(total_queries))
+                                 jnp.float32(np.float32(total_queries)),
+                                 slow_queries)
     return result
 
 

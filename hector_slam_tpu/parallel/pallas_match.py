@@ -50,21 +50,30 @@ _VMEM_GRID_BYTES = 8 * 1024 * 1024   # grids above this use the quad path
 
 
 class MatchDiag(NamedTuple):
-    """Fast-path engagement telemetry (round-2 VERDICT weak #3)."""
+    """Fast-path engagement telemetry (round-2 VERDICT weak #3).
+
+    Counts are float32: query totals scale as hypotheses x beams x GN
+    steps and can exceed int32 at large-batch/high-iteration presets
+    (round-3 ADVICE #3); the consumer is a fraction, so f32 is the right
+    dtype."""
 
     repaired_queries: jnp.ndarray   # i32[] window-overflow queries repaired
     overflow_steps: jnp.ndarray     # i32[] GN steps that hit the budget
     #   and fell back to the full quad-gather path
-    total_queries: jnp.ndarray      # i32[] hypothesis x beam x GN-step count
+    total_queries: jnp.ndarray      # f32[] hypothesis x beam x GN-step count
+    slow_queries: jnp.ndarray       # f32[] queries off the fast kernel path:
+    #   granular repairs + EVERY query of a budget-overflow step
+    #   (round-3 ADVICE #1: overflow steps used to read as fast-path)
 
     def fast_path_fraction(self):
-        tot = jnp.maximum(self.total_queries, 1)
-        return _F1 - self.repaired_queries.astype(jnp.float32) / tot
+        tot = jnp.maximum(self.total_queries, _F1)
+        return _F1 - self.slow_queries / tot
 
 
 def _zero_diag():
-    z = jnp.zeros((), jnp.int32)
-    return MatchDiag(z, z, z)
+    zi = jnp.zeros((), jnp.int32)
+    zf = jnp.zeros((), jnp.float32)
+    return MatchDiag(zi, zi, zf, zf)
 
 
 def pallas_level_supported(shape: Tuple[int, int], wr: int = WR,
@@ -116,10 +125,13 @@ def gn_step_pallas(grid, quad, shape, estimates_map, points, mask,
     search = search.at[:, 2].set(d_theta)
     new_est = jnp.where(guard[:, None], estimates_map + search,
                         estimates_map)
+    qcount = np.float32(b_total * n)
     diag = MatchDiag(
         repaired_queries=jnp.where(overflowed, 0, n_bad),
         overflow_steps=overflowed.astype(jnp.int32),
-        total_queries=jnp.int32(b_total * n),
+        total_queries=jnp.float32(qcount),
+        slow_queries=jnp.where(overflowed, qcount,
+                               n_bad.astype(jnp.float32)),
     )
     return new_est, hess, diag
 

@@ -65,7 +65,9 @@ class SlamSession:
         self.state: SlamState = init_state(cfg)
         self.paused = False
         self._initial_pose: Optional[np.ndarray] = None
+        self._last_odom: Optional[np.ndarray] = None
         self._last_scan: Optional[Scan] = None
+        self._last_stamp: float = 0.0
         self._scan_times_ms: List[float] = []
         self._match_times_ms: List[float] = []
         self._update_times_ms: List[float] = []
@@ -108,15 +110,43 @@ class SlamSession:
                                      np.cos(np.float64(p[2]))))
         self._initial_pose = p
 
+    def pose_hint_from_odom(self, odom_pose) -> Optional[np.ndarray]:
+        """Odometry-propagated start estimate — the functional equivalent
+        of ``use_tf_pose_start_estimate`` (HectorMappingRos.cpp:291-309):
+        there the node reads map->base from the tf tree, which a wheel-
+        odometry robot keeps current by chaining the node's own published
+        map->odom with the live odom->base. Chaining those is exactly
+
+            hint = slam_pose o (last_odom^-1 o current_odom)
+
+        i.e. the last scan-match pose advanced by the odometry delta since
+        that scan. The first call (no previous odometry) returns None —
+        the caller falls back to the last scan-match pose, mirroring the
+        reference's tf-exception fallback (:304-308).
+
+        The odom pose is latched here; ``process_scan(odom_pose=...)``
+        calls this automatically.
+        """
+        from .core.pose2d import compose, invert
+        odom = np.asarray(odom_pose, np.float64)
+        prev = self._last_odom
+        self._last_odom = odom
+        if prev is None:
+            return None
+        delta = compose(invert(prev), odom)
+        hint = compose(np.asarray(self.state.pose, np.float64), delta)
+        return np.asarray(hint, np.float32)
+
     # ---- scan processing ---------------------------------------------------
 
     def process_ranges(self, ranges, stamp: float = 0.0,
-                       pose_hint=None) -> Optional[np.ndarray]:
+                       pose_hint=None, odom_pose=None
+                       ) -> Optional[np.ndarray]:
         """Polar scan path (rosLaserScanToDataContainer)."""
         scan = scan_from_ranges(np.asarray(ranges, np.float32),
                                 self.cfg.map.level_scale(0), self.laser,
                                 self.cfg.max_beams)
-        return self.process_scan(scan, stamp, pose_hint)
+        return self.process_scan(scan, stamp, pose_hint, odom_pose)
 
     def process_points(self, points_base, stamp: float = 0.0,
                        pose_hint=None, origo=(0.0, 0.0),
@@ -143,21 +173,32 @@ class SlamSession:
         return self.process_scan(scan, stamp, pose_hint)
 
     def process_scan(self, scan: Scan, stamp: float = 0.0,
-                     pose_hint=None) -> Optional[np.ndarray]:
+                     pose_hint=None, odom_pose=None
+                     ) -> Optional[np.ndarray]:
         """One scan through the engine. Returns the new world pose, or
-        None while paused (scanCallback pause gate, :237-240)."""
+        None while paused (scanCallback pause gate, :237-240).
+
+        ``odom_pose``: the robot's wheel-odometry pose at this scan's
+        stamp; enables the odometry-propagated start estimate
+        (``pose_hint_from_odom``, the use_tf_pose_start_estimate path,
+        HectorMappingRos.cpp:291-309)."""
         if self.paused:
             return None
         t0 = time.perf_counter()
 
-        # start estimate selection (:285-315): explicit hint beats the
-        # latched initial pose beats the last scan-match pose
+        # start estimate selection (:285-315): latched initial pose beats
+        # the odom-propagated estimate beats the last scan-match pose;
+        # an explicit pose_hint= overrides everything (test/driver seam)
         hint = None
+        odom_hint = (self.pose_hint_from_odom(odom_pose)
+                     if odom_pose is not None else None)
         if pose_hint is not None:
             hint = jnp.asarray(np.asarray(pose_hint, np.float32))
         elif self._initial_pose is not None:
             hint = jnp.asarray(self._initial_pose)
             self._initial_pose = None
+        elif odom_hint is not None:
+            hint = jnp.asarray(odom_hint)
 
         if self.timing_mode == "phases":
             from .core.slam import match_phase_jit, update_phase_jit
@@ -181,6 +222,7 @@ class SlamSession:
         self._scan_times_ms.append((time.perf_counter() - t0) * 1e3)
 
         self._last_scan = scan
+        self._last_stamp = float(stamp)
         self.trajectory.add(stamp, pose)
         if self.on_pose is not None:
             self.on_pose(pose_stamped(pose, np.asarray(self.state.covariance),
@@ -195,7 +237,9 @@ class SlamSession:
                    n_hypotheses: int = 1024,
                    sigma_xy: float = 0.5, sigma_theta: float = 0.3,
                    seed: int = 0,
-                   use_pallas: Optional[bool] = None) -> dict:
+                   use_pallas: Optional[bool] = None,
+                   method: Optional[str] = None,
+                   pallas_interpret: bool = False) -> dict:
         """Batched recovery — the user-facing payoff of matching
         thousands of hypotheses per step on the MXU/VPU (round-2 VERDICT
         weak #7). Spawns ``n_hypotheses`` start poses around the current
@@ -209,21 +253,39 @@ class SlamSession:
         (HectorMappingRos.cpp:285-315) — a human clicking rviz; this is
         that, automated and exhaustive.
 
-        ``scan`` defaults to the last processed scan. ``use_pallas``
-        defaults to True on TPU (VMEM kernel path) and False elsewhere
-        (exact quad-gather path; identical numerics contract).
+        ``scan`` defaults to the last processed scan.
+
+        ``method`` selects the batched matcher:
+          - "pallas" — the VMEM kernel path (``pallas_interpret=True``
+            runs it in Mosaic interpret mode so non-TPU backends can
+            exercise the exact production branch);
+          - "mxu"    — the theta-bucketed one-hot matcher, bucket count
+            picked from the ACTUAL hypothesis theta spread
+            (onehot_match.auto_num_buckets);
+          - "quad"   — the exact quad-gather vmap path;
+          - None     — "pallas" on TPU, "quad" elsewhere.
+        ``use_pallas`` (bool) is the legacy spelling of
+        method="pallas"/"quad". All methods share the same numerics
+        contract (tests pin them against each other and a f64 oracle).
 
         Returns {"pose", "residual", "accepted", "improvement",
-        "fast_path_fraction"} — ``accepted`` is False (pose untouched)
-        when no hypothesis beats the current pose's residual.
+        "fast_path_fraction", "overflow_steps"} — ``accepted`` is False
+        (pose and covariance untouched) when no hypothesis strictly beats
+        the current pose's residual; the GN-refined incumbent counts as a
+        challenger like any other, so accepted can be True with the
+        winner being hypothesis 0's refinement.
         """
         if scan is None:
             scan = self._last_scan
         if scan is None:
             raise ValueError("no scan to relocalize against — process one "
                              "first or pass scan=")
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+        if method is None:
+            if use_pallas is None:
+                use_pallas = jax.default_backend() == "tpu"
+            method = "pallas" if use_pallas else "quad"
+        if method not in ("pallas", "mxu", "quad"):
+            raise ValueError(f"unknown method {method!r}")
 
         rng = np.random.default_rng(seed)
         base = np.asarray(self.state.pose, np.float32)
@@ -231,33 +293,46 @@ class SlamSession:
                            rng.normal(0, sigma_theta, n_hypotheses)
                            ].astype(np.float32)
         hyp[0] = base   # the incumbent always competes
-        hyp = jnp.asarray(hyp)
+        hyp_j = jnp.asarray(hyp)
 
         from .parallel.batch import residual_for_poses
-        frac = 1.0
-        if use_pallas:
+        frac, overflow_steps = 1.0, 0
+        if method == "pallas":
             from .parallel.pallas_match import match_hypotheses_pallas_jit
             result, diag = match_hypotheses_pallas_jit(
-                self.state.log_odds, hyp, scan, self.cfg,
-                quads=self.state.quads)
+                self.state.log_odds, hyp_j, scan, self.cfg,
+                interpret=pallas_interpret, quads=self.state.quads)
             frac = float(diag.fast_path_fraction())
+            overflow_steps = int(diag.overflow_steps)
+        elif method == "mxu":
+            from .parallel.onehot_match import (auto_num_buckets,
+                                                match_hypotheses_mxu_jit)
+            result, diag = match_hypotheses_mxu_jit(
+                self.state.log_odds, hyp_j, scan, self.cfg,
+                num_buckets=auto_num_buckets(hyp), with_diag=True)
+            frac = float(diag.fast_path_fraction())
+            overflow_steps = int(diag.overflow_steps)
         else:
             from .parallel.batch import match_hypotheses_jit
-            result = match_hypotheses_jit(self.state.log_odds, hyp, scan,
-                                          self.cfg)
+            result = match_hypotheses_jit(self.state.log_odds, hyp_j,
+                                          scan, self.cfg)
         res = residual_for_poses(self.state.log_odds[0], result.pose,
                                  scan, self.cfg,
                                  quad=self.state.quads[0]
                                  if self.state.quads else None)
         res = np.asarray(res)
         best = int(np.argmin(res))
-        accepted = bool(res[best] < res[0]) or best == 0
+        # strict improvement only: the incumbent's own (possibly refined)
+        # residual is the bar — nothing beats it, nothing changes
+        # (round-3 ADVICE #2)
+        accepted = bool(res[best] < res[0])
         out = {
             "pose": np.asarray(result.pose[best]),
             "residual": float(res[best]),
             "accepted": accepted,
             "improvement": float(res[0] - res[best]),
             "fast_path_fraction": frac,
+            "overflow_steps": overflow_steps,
         }
         if accepted:
             self.state = self.state._replace(
@@ -275,6 +350,46 @@ class SlamSession:
     def covariance(self) -> np.ndarray:
         """Raw scan-match Hessian (the reference's covariance output)."""
         return np.asarray(self.state.covariance)
+
+    def slam_cloud(self, frame: str = "map") -> np.ndarray:
+        """The last processed scan as a Cartesian point cloud — the
+        node's ``slam_cloud`` product (HectorMappingRos.cpp:193,276-278).
+        The reference publishes the projected cloud in the laser frame;
+        ``frame="base"`` reproduces that (points in meters, sensor
+        frame), while the default ``frame="map"`` additionally transforms
+        by the matched pose — the matched scan overlaid on the map, which
+        is what the cloud is for in rviz. Returns f32[N, 2] (valid beams
+        only)."""
+        if self._last_scan is None:
+            raise ValueError("no scan processed yet")
+        sc = self._last_scan
+        pts = np.asarray(sc.points, np.float32)
+        keep = np.asarray(sc.mask, bool)
+        pts = pts[keep] / np.float32(self.cfg.map.level_scale(0))
+        if frame == "base":
+            return pts
+        if frame != "map":
+            raise ValueError(f"unknown frame {frame!r}")
+        pose = np.asarray(self.state.pose, np.float64)
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        out = np.empty_like(pts)
+        out[:, 0] = pose[0] + c * pts[:, 0] - s * pts[:, 1]
+        out[:, 1] = pose[1] + s * pts[:, 0] + c * pts[:, 1]
+        return out
+
+    def scanmatch_odom(self) -> dict:
+        """Odometry-shaped output of the scan matcher — the node's
+        optional ``scanmatch_odom`` publication (pub_odometry param,
+        HectorMappingRos.cpp:93,124,351-356): the pose-with-covariance of
+        the last match in the map frame with the base frame as child;
+        twist is left zero exactly as the reference leaves it unset."""
+        msg = pose_stamped(np.asarray(self.state.pose),
+                           np.asarray(self.state.covariance),
+                           self._last_stamp)
+        msg["frame_id"] = "map"
+        msg["child_frame_id"] = "base_link"
+        msg["twist"] = np.zeros(6, np.float64)
+        return msg
 
     def occupancy_grid(self, level: int = 0,
                        only_if_changed: bool = False

@@ -124,7 +124,8 @@ def test_fast_path_fully_engaged_for_tight_spread(rng):
     assert int(mom.bad_count) == 0
     # every valid in-bounds query took the fast path
     diag = MatchDiag(jnp.int32(0), jnp.int32(0),
-                     jnp.int32(poses.shape[0] * pts.shape[0]))
+                     jnp.float32(poses.shape[0] * pts.shape[0]),
+                     jnp.float32(0))
     assert float(diag.fast_path_fraction()) == 1.0
 
 
@@ -181,6 +182,8 @@ def test_budget_overflow_reports_and_full_fallback_is_exact(rng):
     assert np.abs(np.asarray(hess) - np.asarray(exp_hess)).max() < 1e-2 * scale
     assert int(diag.overflow_steps) == 1
     assert int(diag.repaired_queries) == 0
+    # an overflow step must read as SLOW, not fast (round-3 ADVICE #1)
+    assert float(diag.fast_path_fraction()) == 0.0
 
 
 def test_match_hypotheses_pallas_vs_quad_driver(rng):
