@@ -45,14 +45,24 @@ class SlamSession:
                  map_with_known_poses: bool = False,
                  on_pose: Optional[Callable] = None,
                  on_map_update: Optional[Callable] = None,
-                 timing_mode: str = "step"):
+                 timing_mode: str = "step",
+                 geotiff_save_period: float = 0.0,
+                 geotiff_base_path: str = "GeoTiffMap"):
         """``timing_mode``: "step" (default) runs each scan as ONE device
         program (fastest); "phases" runs match and map-update as two
         programs and records per-phase wall times in timing_stats() — the
         SURVEY.md §5 per-phase split. The phase boundary adds one host
         round-trip per scan (~40 ms through the remote-TPU tunnel, ~none
         locally), so "phases" is a diagnostic mode; results are
-        numerically identical (same ops, two programs)."""
+        numerically identical (same ops, two programs).
+
+        ``geotiff_save_period`` > 0 enables the periodic geotiff
+        autosave of the reference's geotiff node (geotiff_save_period
+        param + timer, hector_geotiff/src/geotiff_node.cpp:79-86,
+        :250-253): every ``period`` seconds of SCAN-STAMP time the map
+        is re-rendered to ``geotiff_base_path`` (same files overwritten,
+        matching the reference's fixed base name). Scan stamps — not
+        wall clock — drive the timer so log replay is deterministic."""
         if timing_mode not in ("step", "phases"):
             raise ValueError(f"unknown timing_mode {timing_mode!r}")
         self.cfg = cfg
@@ -72,6 +82,9 @@ class SlamSession:
         self._match_times_ms: List[float] = []
         self._update_times_ms: List[float] = []
         self._published_update_count = -1
+        self.geotiff_save_period = float(geotiff_save_period)
+        self.geotiff_base_path = geotiff_base_path
+        self._next_geotiff_stamp: Optional[float] = None
         self.meta = grid_meta(cfg.map)
 
     # ---- controls ----------------------------------------------------------
@@ -229,6 +242,14 @@ class SlamSession:
                                       stamp))
         if self.on_map_update is not None and bool(metrics.map_updated):
             self.on_map_update(self)
+        if self.geotiff_save_period > 0.0:
+            if self._next_geotiff_stamp is None:
+                # first save one period after the first scan, like the
+                # reference's ros::Timer armed at node start
+                self._next_geotiff_stamp = stamp + self.geotiff_save_period
+            elif stamp >= self._next_geotiff_stamp:
+                self.save_geotiff(self.geotiff_base_path)
+                self._next_geotiff_stamp = stamp + self.geotiff_save_period
         return pose
 
     # ---- recovery ----------------------------------------------------------

@@ -503,3 +503,23 @@ def test_reflectance_slam_end_to_end(log):
     res = match_pyramid(state.log_odds, jnp.asarray(start), sc, cfg)
     err = np.linalg.norm(np.asarray(res.pose)[:2] - poses[5][:2])
     assert err < 0.02, err
+
+
+def test_geotiff_autosave(log, tmp_path):
+    """Periodic geotiff autosave (geotiff_node.cpp:79-86 timer): saves
+    every period seconds of scan-stamp time, overwriting one base name;
+    first save one period after the first scan."""
+    import os
+    _, ranges = log
+    base = str(tmp_path / "automap")
+    sess = SlamSession(CFG, LASER, geotiff_save_period=0.1,
+                       geotiff_base_path=base)
+    # scans at 25 ms: saves expected at stamps >= 0.1 and >= 0.2...
+    for t, r in enumerate(ranges):
+        sess.process_ranges(r, stamp=t * 0.025)
+    assert os.path.exists(base + ".png") and os.path.exists(base + ".tfw")
+    # disabled by default: no files
+    sess2 = SlamSession(CFG, LASER)
+    for t, r in enumerate(ranges[:3]):
+        sess2.process_ranges(r, stamp=t * 0.025)
+    assert not os.path.exists("GeoTiffMap.png")
