@@ -41,9 +41,19 @@ def main() -> None:
                         help="map size per robot (cells)")
     args = parser.parse_args()
 
+    import os
+
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # multi-host pod slice (PERF.md "Scaling runbook"): when a
+    # coordinator is configured, stitch the per-host processes into one
+    # global device list before any backend use
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
     import jax.numpy as jnp
 
     from hector_slam_tpu.config import MapConfig, SlamConfig
