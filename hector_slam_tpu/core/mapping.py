@@ -48,30 +48,13 @@ def _sign_ref(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x > 0, 1, -1).astype(jnp.int32)
 
 
-def rasterize_scan(
-    grid_shape: Tuple[int, int],
-    pose_world: jnp.ndarray,
-    scan_points: jnp.ndarray,   # f32[N,2] this level's scaled points
-    scan_origo: jnp.ndarray,    # f32[2]
-    scan_mask: jnp.ndarray,     # bool[N]
-    offset,
-    scale,
-    max_ray_cells: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Computes the per-scan free/occupied boolean grids for one level.
-
-    Returns (free_set bool[H,W], occ_set bool[H,W], truncated_cells i32[]).
-
-    ``truncated_cells`` counts free cells dropped because a beam's
-    dominant-axis span exceeded ``max_ray_cells`` — the reference marks
-    every cell unconditionally (OccGridMapBase.h:243-260), so a nonzero
-    count means divergence from reference semantics. With the default
-    auto-derived cap (SlamConfig.max_ray_cells == 0 -> max(size_x, size_y))
-    no in-map beam can ever truncate.
-    """
+def _beam_geometry(grid_shape, pose_world, scan_points, scan_origo,
+                   scan_mask, offset, scale):
+    """Shared rasterization prologue: beam start/end cells, validity and
+    Bresenham parameters (exact reference rounding/validity semantics,
+    OccGridMapBase.h:134-158,176,186). Used by both the XLA scatter path
+    and the Pallas paint kernel so the cell choice is identical."""
     h, w = grid_shape
-    num_cells = h * w
-
     pose_map = world_to_map_pose(pose_world, offset, scale)
     s = jnp.sin(pose_map[2])
     c = jnp.cos(pose_map[2])
@@ -104,12 +87,41 @@ def rasterize_scan(
     dy = ey - by
     abs_dx = jnp.abs(dx)
     abs_dy = jnp.abs(dy)
-    offset_dx = _sign_ref(dx)
-    offset_dy = _sign_ref(dy) * w
-
     x_dom = abs_dx >= abs_dy
     abs_da = jnp.where(x_dom, abs_dx, abs_dy)
     abs_db = jnp.where(x_dom, abs_dy, abs_dx)
+    return (bx, by, ex, ey, valid, dx, dy, x_dom, abs_da, abs_db)
+
+
+def rasterize_scan(
+    grid_shape: Tuple[int, int],
+    pose_world: jnp.ndarray,
+    scan_points: jnp.ndarray,   # f32[N,2] this level's scaled points
+    scan_origo: jnp.ndarray,    # f32[2]
+    scan_mask: jnp.ndarray,     # bool[N]
+    offset,
+    scale,
+    max_ray_cells: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Computes the per-scan free/occupied boolean grids for one level.
+
+    Returns (free_set bool[H,W], occ_set bool[H,W], truncated_cells i32[]).
+
+    ``truncated_cells`` counts free cells dropped because a beam's
+    dominant-axis span exceeded ``max_ray_cells`` — the reference marks
+    every cell unconditionally (OccGridMapBase.h:243-260), so a nonzero
+    count means divergence from reference semantics. With the default
+    auto-derived cap (SlamConfig.max_ray_cells == 0 -> max(size_x, size_y))
+    no in-map beam can ever truncate.
+    """
+    h, w = grid_shape
+    num_cells = h * w
+
+    (bx, by, ex, ey, valid, dx, dy, x_dom, abs_da, abs_db) = \
+        _beam_geometry(grid_shape, pose_world, scan_points, scan_origo,
+                       scan_mask, offset, scale)
+    offset_dx = _sign_ref(dx)
+    offset_dy = _sign_ref(dy) * w
     offset_a = jnp.where(x_dom, offset_dx, offset_dy)
     offset_b = jnp.where(x_dom, offset_dy, offset_dx)
     start_offset = by * w + bx
@@ -146,6 +158,54 @@ def rasterize_scan(
     return free_set, occ_set, truncated
 
 
+def rasterize_scan_pallas(
+    grid_shape: Tuple[int, int],
+    pose_world: jnp.ndarray,
+    scan_points: jnp.ndarray,
+    scan_origo: jnp.ndarray,
+    scan_mask: jnp.ndarray,
+    offset,
+    scale,
+    max_ray_cells: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``rasterize_scan`` with the free-cell painting done by the Pallas
+    in-VMEM kernel (ops/pallas_raster.py) instead of the dense-slot XLA
+    scatter — work proportional to the VALID cell count. Cell sets are
+    bit-identical to ``rasterize_scan`` (tests assert it); the tiny
+    endpoint-occupied scatter stays in XLA."""
+    from ..ops.pallas_raster import paint_free_set
+    h, w = grid_shape
+    num_cells = h * w
+
+    (bx, by, ex, ey, valid, dx, dy, x_dom, abs_da, abs_db) = \
+        _beam_geometry(grid_shape, pose_world, scan_points, scan_origo,
+                       scan_mask, offset, scale)
+    sdx = _sign_ref(dx)
+    sdy = _sign_ref(dy)
+    zero = jnp.zeros_like(sdx)
+    da_row = jnp.where(x_dom, zero, sdy)
+    da_col = jnp.where(x_dom, sdx, zero)
+    db_row = jnp.where(x_dom, sdy, zero)
+    db_col = jnp.where(x_dom, zero, sdx)
+    nsteps = jnp.where(valid, jnp.minimum(abs_da, max_ray_cells), 0)
+
+    painted = paint_free_set(
+        (h, w), by, bx, nsteps, da_row, da_col, db_row, db_col,
+        abs_da, abs_db, abs_da // 2, interpret=interpret)
+    free_set = painted > 0.0
+
+    occ_flat = jnp.where(valid, ey * w + ex, num_cells)
+    occ_set = (
+        jnp.zeros(num_cells, jnp.bool_)
+        .at[occ_flat].set(True, mode="drop")
+        .reshape(h, w)
+    )
+    truncated = jnp.sum(jnp.where(
+        valid, jnp.maximum(abs_da - max_ray_cells, 0), 0)).astype(jnp.int32)
+    return free_set, occ_set, truncated
+
+
 def update_level(
     log_odds: jnp.ndarray,
     pose_world: jnp.ndarray,
@@ -159,6 +219,8 @@ def update_level(
     log_odds_occupied: float,
     beam_axis: str | None = None,
     cell_model: str = "log_odds",
+    raster_backend: str | None = None,
+    raster_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Applies one scan's log-odds update to one level (see module doc for
     the scatter-mask derivation from OccGridMapBase.h:216-241).
@@ -169,10 +231,27 @@ def update_level(
     each device rasterizes its local beams and the boolean cell sets are
     OR-combined with a psum over ICI — the masks commute, so this is
     exact.
+
+    ``raster_backend``: "pallas" (in-VMEM paint kernel,
+    ops/pallas_raster.py), "xla" (dense-slot scatter), or None = auto:
+    pallas on TPU for unsharded VMEM-sized grids, xla otherwise. Both
+    produce bit-identical cell sets.
     """
-    free_set, occ_set, truncated = rasterize_scan(
-        log_odds.shape[-2:], pose_world, scan_points, scan_origo,
-        scan_mask, offset, scale, max_ray_cells)
+    shape = log_odds.shape[-2:]
+    if raster_backend is None:
+        from ..ops.pallas_raster import raster_supported
+        use_pallas = (jax.default_backend() == "tpu"
+                      and beam_axis is None and raster_supported(shape))
+        raster_backend = "pallas" if use_pallas else "xla"
+    if raster_backend == "pallas":
+        free_set, occ_set, truncated = rasterize_scan_pallas(
+            shape, pose_world, scan_points, scan_origo,
+            scan_mask, offset, scale, max_ray_cells,
+            interpret=raster_interpret)
+    else:
+        free_set, occ_set, truncated = rasterize_scan(
+            shape, pose_world, scan_points, scan_origo,
+            scan_mask, offset, scale, max_ray_cells)
     if beam_axis is not None:
         free_set = jax.lax.psum(
             free_set.astype(jnp.int32), beam_axis) > 0
@@ -191,6 +270,8 @@ def update_pyramid(
     scan: Scan,
     cfg: SlamConfig,
     beam_axis: str | None = None,
+    raster_backend: str | None = None,
+    raster_interpret: bool = False,
 ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
     """MapRepMultiMap::updateByScan (MapRepMultiMap.h:134-147): every level
     updated independently with its 2^-level-scaled scan.
@@ -210,6 +291,7 @@ def update_pyramid(
             cfg.level_max_ray_cells(level),
             cfg.update.log_odds_free, cfg.update.log_odds_occupied,
             beam_axis, cfg.update.cell_model,
+            raster_backend, raster_interpret,
         )
         out.append(new_lo)
         truncated_total = truncated_total + truncated
