@@ -523,3 +523,13 @@ def test_geotiff_autosave(log, tmp_path):
     for t, r in enumerate(ranges[:3]):
         sess2.process_ranges(r, stamp=t * 0.025)
     assert not os.path.exists("GeoTiffMap.png")
+
+
+def test_relocalize_auto_method_spread_heuristic():
+    """Auto method choice: tight spreads keep the Pallas VMEM windows
+    engaged; kidnap-scale spreads route to the MXU patches."""
+    from hector_slam_tpu.session import _pallas_spread_ok
+    assert _pallas_spread_ok(0.05, 0.01, CFG)          # tracking recovery
+    assert not _pallas_spread_ok(0.5, 0.3, CFG)        # kidnap scale
+    assert not _pallas_spread_ok(0.0, 0.3, CFG)        # rotation-only kidnap
+    assert _pallas_spread_ok(0.2, 0.0, CFG)            # translation-only
