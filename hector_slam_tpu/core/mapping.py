@@ -158,7 +158,10 @@ def rasterize_scan(
     return free_set, occ_set, truncated
 
 
-def rasterize_scan_pallas(
+_SEG = 64   # cells per compacted beam segment
+
+
+def rasterize_scan_seg(
     grid_shape: Tuple[int, int],
     pose_world: jnp.ndarray,
     scan_points: jnp.ndarray,
@@ -167,33 +170,84 @@ def rasterize_scan_pallas(
     offset,
     scale,
     max_ray_cells: int,
-    interpret: bool = False,
+    budget_segments: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """``rasterize_scan`` with the free-cell painting done by the Pallas
-    in-VMEM kernel (ops/pallas_raster.py) instead of the dense-slot XLA
-    scatter — work proportional to the VALID cell count. Cell sets are
-    bit-identical to ``rasterize_scan`` (tests assert it); the tiny
-    endpoint-occupied scatter stays in XLA."""
-    from ..ops.pallas_raster import paint_free_set
+    """``rasterize_scan`` with SEGMENT COMPACTION: TPU scatter costs
+    ~6 ns per STATIC slot whether or not the slot holds a valid cell
+    (measured; no scatter mode changes this), and the dense [beams,
+    max_ray_cells] layout is sized for the worst-case beam, so typically
+    ~75% of its slots are padding. Here the valid 64-cell beam segments
+    (~sum(abs_da)/64 of them) are compacted first with cumsum +
+    searchsorted — the cheap gather-based primitive (the same one that
+    fixed the matcher's repair path; jnp.nonzero/sort/scatter compaction
+    are all orders slower) — and the scatter processes ~valid-cells
+    slots instead of worst-case slots.
+
+    Cell sets are bit-identical to ``rasterize_scan`` (same closed-form
+    Bresenham, same indices; tests assert equality). If a scan's segment
+    count exceeds the static ``budget_segments`` (default: a quarter of
+    the dense slot count — beams averaging ≥ max_ray_cells/4 length),
+    the whole rasterization falls back to the dense path via lax.cond:
+    exact always, slower only for that scan.
+    """
     h, w = grid_shape
     num_cells = h * w
+    n_beams = scan_points.shape[0]
+    k_seg = -(-max_ray_cells // _SEG)
+    if budget_segments <= 0:
+        budget_segments = max(8, (n_beams * k_seg) // 4)
 
     (bx, by, ex, ey, valid, dx, dy, x_dom, abs_da, abs_db) = \
         _beam_geometry(grid_shape, pose_world, scan_points, scan_origo,
                        scan_mask, offset, scale)
-    sdx = _sign_ref(dx)
-    sdy = _sign_ref(dy)
-    zero = jnp.zeros_like(sdx)
-    da_row = jnp.where(x_dom, zero, sdy)
-    da_col = jnp.where(x_dom, sdx, zero)
-    db_row = jnp.where(x_dom, sdy, zero)
-    db_col = jnp.where(x_dom, zero, sdx)
-    nsteps = jnp.where(valid, jnp.minimum(abs_da, max_ray_cells), 0)
+    offset_dx = _sign_ref(dx)
+    offset_dy = _sign_ref(dy) * w
+    offset_a = jnp.where(x_dom, offset_dx, offset_dy)
+    offset_b = jnp.where(x_dom, offset_dy, offset_dx)
+    start_offset = by * w + bx
+    abs_da_safe = jnp.maximum(abs_da, 1)
+    err0 = abs_da // 2
+    length = jnp.minimum(abs_da, max_ray_cells)   # painted cells per beam
 
-    painted = paint_free_set(
-        (h, w), by, bx, nsteps, da_row, da_col, db_row, db_col,
-        abs_da, abs_db, abs_da // 2, interpret=interpret)
-    free_set = painted > 0.0
+    # valid segments per beam: ceil(length/SEG); compact (beam, seg) ids
+    n_seg = jnp.where(valid, -(-length // _SEG), 0)          # [N]
+    seg_valid = (jnp.arange(k_seg, dtype=jnp.int32)[None, :]
+                 < n_seg[:, None])                           # [N, K_seg]
+    pos = jnp.cumsum(seg_valid.reshape(-1).astype(jnp.int32))
+    total = pos[-1]
+    flat_ids = jnp.minimum(
+        jnp.searchsorted(pos, jnp.arange(1, budget_segments + 1,
+                                         dtype=jnp.int32)),
+        n_beams * k_seg - 1)
+    slot_ok = jnp.arange(budget_segments) < total
+    b_i = flat_ids // k_seg
+    s_i = flat_ids % k_seg
+
+    def seg_path(_):
+        j = (s_i[:, None] * _SEG
+             + jnp.arange(_SEG, dtype=jnp.int32)[None, :])   # [B, SEG]
+        minor = (err0[b_i][:, None] + j * abs_db[b_i][:, None]) \
+            // abs_da_safe[b_i][:, None]
+        flat = (start_offset + j * offset_a[b_i][:, None]
+                + minor * offset_b[b_i][:, None])
+        keep = slot_ok[:, None] & (j < length[b_i][:, None])
+        flat = jnp.where(keep, flat, num_cells)
+        return (jnp.zeros(num_cells, jnp.bool_)
+                .at[flat.reshape(-1)].set(True, mode="drop"))
+
+    def dense_path(_):
+        steps = jnp.arange(max_ray_cells, dtype=jnp.int32)[None, :]
+        minor = (err0[:, None] + steps * abs_db[:, None]) \
+            // abs_da_safe[:, None]
+        flat = (start_offset + steps * offset_a[:, None]
+                + minor * offset_b[:, None])
+        keep = valid[:, None] & (steps < abs_da[:, None])
+        flat = jnp.where(keep, flat, num_cells)
+        return (jnp.zeros(num_cells, jnp.bool_)
+                .at[flat.reshape(-1)].set(True, mode="drop"))
+
+    free_set = jax.lax.cond(total > jnp.int32(budget_segments),
+                            dense_path, seg_path, None).reshape(h, w)
 
     occ_flat = jnp.where(valid, ey * w + ex, num_cells)
     occ_set = (
@@ -232,22 +286,23 @@ def update_level(
     OR-combined with a psum over ICI — the masks commute, so this is
     exact.
 
-    ``raster_backend``: "pallas" (in-VMEM paint kernel,
-    ops/pallas_raster.py), "xla" (dense-slot scatter), or None = auto:
-    pallas on TPU for unsharded VMEM-sized grids, xla otherwise. Both
-    produce bit-identical cell sets.
+    ``raster_backend``: "seg" (segment-compacted scatter — slots
+    proportional to valid cells, dense fallback past the segment
+    budget), "xla" (dense-slot scatter), or None = auto: seg on TPU
+    (where scatter slots cost ~6 ns each), xla elsewhere. All backends
+    produce bit-identical cell sets. (A Pallas in-VMEM paint kernel was
+    prototyped and rejected: Mosaic cannot lower per-cell stores — see
+    PERF.md round 4 and tools/probe_mosaic_store.py.)
     """
     shape = log_odds.shape[-2:]
+    del raster_interpret   # kept for call-site compatibility
     if raster_backend is None:
-        from ..ops.pallas_raster import raster_supported
-        use_pallas = (jax.default_backend() == "tpu"
-                      and beam_axis is None and raster_supported(shape))
-        raster_backend = "pallas" if use_pallas else "xla"
-    if raster_backend == "pallas":
-        free_set, occ_set, truncated = rasterize_scan_pallas(
+        raster_backend = ("seg" if jax.default_backend() == "tpu"
+                          and beam_axis is None else "xla")
+    if raster_backend == "seg":
+        free_set, occ_set, truncated = rasterize_scan_seg(
             shape, pose_world, scan_points, scan_origo,
-            scan_mask, offset, scale, max_ray_cells,
-            interpret=raster_interpret)
+            scan_mask, offset, scale, max_ray_cells)
     else:
         free_set, occ_set, truncated = rasterize_scan(
             shape, pose_world, scan_points, scan_origo,

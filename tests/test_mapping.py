@@ -197,13 +197,14 @@ def test_long_beam_no_truncation_under_auto_cap():
     assert (np.asarray(got2) != m.log_odds).any()
 
 
-def test_pallas_raster_bitexact_vs_xla_scatter():
-    """The Pallas in-VMEM paint kernel (ops/pallas_raster.py, interpret
-    mode here) must produce bit-identical free/occupied cell sets to the
-    XLA scatter path — including beam validity, rounding, and the
-    truncation counter. The XLA path is itself pinned against the
-    compiled reference, so transitivity pins the kernel."""
-    from hector_slam_tpu.core.mapping import rasterize_scan_pallas
+def test_seg_raster_bitexact_vs_dense_scatter():
+    """The segment-compacted rasterization (rasterize_scan_seg) must
+    produce bit-identical free/occupied cell sets to the dense-slot
+    path — including beam validity, rounding, the truncation counter,
+    and the budget-overflow dense fallback. The dense path is itself
+    pinned against the compiled reference, so transitivity pins the
+    compacted path."""
+    from hector_slam_tpu.core.mapping import rasterize_scan_seg
     from hector_slam_tpu.io.scanlog import LaserModel, scan_from_ranges
     from hector_slam_tpu.io.simulator import (World, corridor_trajectory,
                                               simulate_trajectory)
@@ -217,20 +218,23 @@ def test_pallas_raster_bitexact_vs_xla_scatter():
     ranges = simulate_trajectory(world, poses, laser)
     shape = (256, 256)
     for k_cap in (256, 40):   # 40 forces truncation on long beams
-        for p, r in zip(poses, ranges):
-            sc = scan_from_ranges(r, cfg.map.level_scale(0), laser,
-                                  cfg.max_beams)
-            args = (shape, jnp.asarray(p), sc.points, sc.origo, sc.mask,
-                    cfg.map.top_left_offset, cfg.map.level_scale(0), k_cap)
-            f1, o1, t1 = rasterize_scan(*args)
-            f2, o2, t2 = rasterize_scan_pallas(*args, interpret=True)
-            assert np.array_equal(np.asarray(f1), np.asarray(f2))
-            assert np.array_equal(np.asarray(o1), np.asarray(o2))
-            assert int(t1) == int(t2)
+        for budget in (0, 4):   # 4 segments forces the overflow fallback
+            for p_, r in zip(poses, ranges):
+                sc = scan_from_ranges(r, cfg.map.level_scale(0), laser,
+                                      cfg.max_beams)
+                args = (shape, jnp.asarray(p_), sc.points, sc.origo,
+                        sc.mask, cfg.map.top_left_offset,
+                        cfg.map.level_scale(0), k_cap)
+                f1, o1, t1 = rasterize_scan(*args)
+                f2, o2, t2 = rasterize_scan_seg(*args,
+                                                budget_segments=budget)
+                assert np.array_equal(np.asarray(f1), np.asarray(f2))
+                assert np.array_equal(np.asarray(o1), np.asarray(o2))
+                assert int(t1) == int(t2)
 
 
-def test_update_pyramid_pallas_backend_bitexact():
-    """update_pyramid(raster_backend="pallas") == "xla" on every level,
+def test_update_pyramid_seg_backend_bitexact():
+    """update_pyramid(raster_backend="seg") == "xla" on every level,
     and empty scans are no-ops on both."""
     from hector_slam_tpu.core.slam import init_state
     from hector_slam_tpu.io.scanlog import LaserModel, scan_from_ranges
@@ -250,7 +254,7 @@ def test_update_pyramid_pallas_backend_bitexact():
     p1, t1 = update_pyramid(st.log_odds, jnp.asarray(poses[0]), sc, cfg,
                             raster_backend="xla")
     p2, t2 = update_pyramid(st.log_odds, jnp.asarray(poses[0]), sc, cfg,
-                            raster_backend="pallas", raster_interpret=True)
+                            raster_backend="seg")
     for a, b in zip(p1, p2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     assert int(t1) == int(t2)
@@ -258,6 +262,6 @@ def test_update_pyramid_pallas_backend_bitexact():
     empty = Scan(points=jnp.zeros_like(sc.points), origo=sc.origo,
                  mask=jnp.zeros_like(sc.mask))
     p3, _ = update_pyramid(st.log_odds, jnp.asarray(poses[0]), empty, cfg,
-                           raster_backend="pallas", raster_interpret=True)
+                           raster_backend="seg")
     for a, b in zip(st.log_odds, p3):
         assert np.array_equal(np.asarray(a), np.asarray(b))

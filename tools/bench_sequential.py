@@ -79,7 +79,7 @@ def main():
         return jnp.sum(res.pose)
     results["match_ms"] = round(chain_time(match_body), 3)
 
-    for backend in ("xla", "pallas"):
+    for backend in ("xla", "seg"):
         def upd_body(p, b=backend):
             pyr, t = update_pyramid(state.log_odds, p, sc, cfg,
                                     raster_backend=b)
@@ -90,13 +90,13 @@ def main():
     p1, t1 = jax.jit(lambda p: update_pyramid(
         state.log_odds, p, sc, cfg, raster_backend="xla"))(pose)
     p2, t2 = jax.jit(lambda p: update_pyramid(
-        state.log_odds, p, sc, cfg, raster_backend="pallas"))(pose)
+        state.log_odds, p, sc, cfg, raster_backend="seg"))(pose)
     equal = all(bool(jnp.array_equal(a, b)) for a, b in zip(p1, p2))
     results["compiled_cell_sets_equal"] = equal
-    assert equal, "pallas raster diverges from xla scatter when compiled!"
+    assert equal, "seg raster diverges from dense scatter when compiled!"
 
     results["speedup_update"] = round(
-        results["update_xla_ms"] / results["update_pallas_ms"], 2)
+        results["update_xla_ms"] / results["update_seg_ms"], 2)
     print(json.dumps(results))
 
 
