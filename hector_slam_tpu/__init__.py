@@ -6,7 +6,9 @@ See SURVEY.md for the structural analysis of the reference this is built
 to, and BASELINE.md for performance targets.
 """
 
-from .config import (BENCH_CONFIG, DEFAULT_CONFIG, TUTORIAL_CONFIG,
+from .config import (BENCH_CONFIG, CITYFLYER_LOG_CONFIG, DEFAULT_CONFIG,
+                     HEIGHT_MAPPING_CONFIG, MAPPING_BOX_CONFIG, PR2_CONFIG,
+                     SINGLE_MAP_CONFIG, TUTORIAL_CONFIG, UGV_CONFIG,
                      MapConfig, MatchConfig, SlamConfig, UpdateConfig)
 from .types import MatchResult, Scan, SlamState, StepMetrics
 from .core.slam import init_state, run_log, run_log_jit, slam_step, slam_step_jit
@@ -39,7 +41,9 @@ from .session import SlamSession
 __version__ = "0.1.0"
 
 __all__ = [
-    "BENCH_CONFIG", "DEFAULT_CONFIG", "TUTORIAL_CONFIG",
+    "BENCH_CONFIG", "CITYFLYER_LOG_CONFIG", "DEFAULT_CONFIG",
+    "HEIGHT_MAPPING_CONFIG", "MAPPING_BOX_CONFIG", "PR2_CONFIG",
+    "SINGLE_MAP_CONFIG", "TUTORIAL_CONFIG", "UGV_CONFIG",
     "MapConfig", "MatchConfig", "SlamConfig", "UpdateConfig",
     "MatchResult", "Scan", "SlamState", "StepMetrics",
     "init_state", "run_log", "run_log_jit", "slam_step", "slam_step_jit",

@@ -192,4 +192,45 @@ SINGLE_MAP_CONFIG = SlamConfig(
     match=MatchConfig(iterations_finest=20),
 )
 
+# The remaining hector_slam_launch variants, mirrored preset-for-launch
+# (frames/topics are ROS plumbing with no engine equivalent; engine
+# parameters are reproduced exactly):
+
+# mapping_box.launch: 2048^2 @ 0.05 m (node-default 3 levels), tutorial
+# gate 0.4 m / 0.06 rad, centered start.
+MAPPING_BOX_CONFIG = SlamConfig(
+    map=MapConfig(resolution=0.05, size_x=2048, size_y=2048, levels=3),
+    map_update_distance_thresh=0.4,
+    map_update_angle_thresh=0.06,
+    max_ray_cells=640,
+)
+
+# cityflyer_logfile_processing.launch (log replay, MAV): 2048^2 @ 0.05 m,
+# 3 levels, off-center start (0.75, 0.25), occupied factor 0.95, tight
+# gate 0.3 m / 0.03 rad.
+CITYFLYER_LOG_CONFIG = SlamConfig(
+    map=MapConfig(resolution=0.05, size_x=2048, size_y=2048, levels=3,
+                  start_coords=(0.75, 0.25)),
+    update=UpdateConfig(update_factor_free=0.4,
+                        update_factor_occupied=0.95),
+    map_update_distance_thresh=0.3,
+    map_update_angle_thresh=0.03,
+    max_ray_cells=640,
+)
+
+# hector_ugv.launch: 1024^2 @ 0.05 m SINGLE level, free factor 0.3
+# (node-default gate); laser z-band [-0.3, node-default] is applied by
+# the caller via SlamSession.process_points(z_min=-0.3).
+UGV_CONFIG = SlamConfig(
+    map=MapConfig(resolution=0.05, size_x=1024, size_y=1024, levels=1),
+    update=UpdateConfig(update_factor_free=0.3),
+    max_ray_cells=640,
+)
+
+# pr2os.launch sets exactly the mapping_default engine parameters, and
+# mpo700_mapping / postproc_data / postproc_qut_logs include
+# mapping_default directly (only frames/topics differ — ROS plumbing
+# with no engine equivalent), so all four map to the tutorial preset.
+PR2_CONFIG = TUTORIAL_CONFIG
+
 DEFAULT_CONFIG = SlamConfig()

@@ -533,3 +533,28 @@ def test_relocalize_auto_method_spread_heuristic():
     assert not _pallas_spread_ok(0.5, 0.3, CFG)        # kidnap scale
     assert not _pallas_spread_ok(0.0, 0.3, CFG)        # rotation-only kidnap
     assert _pallas_spread_ok(0.2, 0.0, CFG)            # translation-only
+
+
+def test_launch_variant_presets():
+    """Launch-variant preset parity (hector_slam_launch/launch/*): engine
+    parameters mirrored exactly; each preset builds a valid engine."""
+    from hector_slam_tpu.config import (CITYFLYER_LOG_CONFIG,
+                                        MAPPING_BOX_CONFIG, PR2_CONFIG,
+                                        TUTORIAL_CONFIG, UGV_CONFIG)
+    c = CITYFLYER_LOG_CONFIG
+    assert c.map.size_x == 2048 and c.map.levels == 3
+    assert c.map.start_coords == (0.75, 0.25)
+    assert c.update.update_factor_occupied == 0.95
+    assert c.map_update_distance_thresh == 0.3
+    assert c.map_update_angle_thresh == 0.03
+    assert MAPPING_BOX_CONFIG.map.levels == 3
+    assert MAPPING_BOX_CONFIG.map_update_angle_thresh == 0.06
+    assert UGV_CONFIG.map.levels == 1
+    assert UGV_CONFIG.update.update_factor_free == 0.3
+    assert PR2_CONFIG is TUTORIAL_CONFIG
+    # every preset initializes (off-center start shifts the world offset)
+    st = init_state(UGV_CONFIG)
+    assert len(st.log_odds) == 1
+    off = CITYFLYER_LOG_CONFIG.map.top_left_offset
+    assert abs(off[0] - 0.05 * 2048 * 0.75) < 1e-9
+    assert abs(off[1] - 0.05 * 2048 * 0.25) < 1e-9
