@@ -76,13 +76,13 @@ def main() -> None:
     base = jnp.asarray(poses_true[-1], jnp.float32)
     scan = scans[-1]
 
-    def make_chain(k: int):
+    def make_chain(k: int, match_fn):
         seeds = jnp.asarray(rng.normal(0, 0.05, (k, B, 3)), jnp.float32)
 
         @jax.jit
         def chain(pyramid, sc):
             def body(carry, seed):
-                result = matcher(
+                result = match_fn(
                     pyramid, base + seed + 0.0 * carry.sum(), sc, cfg)
                 return jnp.mean(result.pose, axis=0), ()
 
@@ -91,19 +91,41 @@ def main() -> None:
 
         return lambda: float(chain(state.log_odds, sc=scan))
 
-    k_short, k_long = 4, 16
-    per_batch = []
-    for _ in range(3):
-        times = {}
-        for k in (k_short, k_long):
-            f = make_chain(k)
-            f()  # compile + warm
-            t0 = time.perf_counter()
-            f()
-            times[k] = time.perf_counter() - t0
-        per_batch.append((times[k_long] - times[k_short])
-                         / (k_long - k_short))
-    dt = min(per_batch)
+    def measure(match_fn):
+        k_short, k_long = 4, 16
+        per_batch = []
+        for _ in range(3):
+            times = {}
+            for k in (k_short, k_long):
+                f = make_chain(k, match_fn)
+                f()  # compile + warm
+                t0 = time.perf_counter()
+                f()
+                times[k] = time.perf_counter() - t0
+            per_batch.append((times[k_long] - times[k_short])
+                             / (k_long - k_short))
+        return min(per_batch)
+
+    try:
+        dt = measure(matcher)
+    except Exception as e:   # noqa: BLE001
+        # the remote Mosaic compile service can fail transiently
+        # ("response body closed", HTTP 500); a missing BENCH record is
+        # worse than an honest fallback measurement, so retry once and
+        # then drop to the XLA-only MXU matcher
+        import sys
+        print(f"bench: {variant} matcher failed ({e!r:.200}), retrying",
+              file=sys.stderr)
+        try:
+            dt = measure(matcher)
+        except Exception:
+            if variant != "mxu":
+                print("bench: falling back to the MXU matcher",
+                      file=sys.stderr)
+                variant = "mxu-fallback"
+                dt = measure(match_hypotheses_mxu)
+            else:
+                raise
 
     matches_per_s = B / dt
     target_rate = 10000.0  # BASELINE.json: >=10k matches/s/chip

@@ -9,9 +9,12 @@ Mosaic's ``take_along_axis`` on [8, 128] operands is a VPU lane-shuffle
 (~13.7 ns per 1024 selections, tools/probe_pallas.py) and an aligned
 dynamic VMEM slice costs ~27 ns. This kernel keeps the level's
 probability grid resident in VMEM and does the whole per-GN-iteration
-interp + Jacobian + moment accumulation on-chip. Measured at the bench
-shape (1024^2 grid, 4096 theta-sorted hypotheses, 1152 beams):
-~1.75 ms per GN iteration = 0.37 ns/query, ~6x the XLA one-hot path.
+interp + Jacobian + moment accumulation on-chip. Measured compiled at
+the bench shape (1024^2 grid, 4096 theta-sorted hypotheses, 1152
+beams): 1.5-2.2 ms per GN iteration kernel-only, 4.1-4.6 ms for the
+full gn_step including granular repair (PALLAS_TPU_VALIDATION.json);
+end-to-end 109.6k pyramid matches/s vs 29k for the one-hot path
+(BENCH_r04, PERF.md round-4 section).
 
 Structure (per grid step = one theta-subbucket x one 8-beam block):
   1. the XLA prologue computes the map-frame query coords tx, ty ONCE

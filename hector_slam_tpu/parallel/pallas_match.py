@@ -4,8 +4,11 @@ matching (relocalization, hypothesis scoring, the bench workload).
 
 Replaces the HBM-bound one-hot MXU matcher (parallel/onehot_match.py) as
 the default batched path: the level's probability grid stays resident in
-VMEM and each GN iteration costs ~0.37 ns/query at the bench shape
-(measured; vs ~2.4 ns for the one-hot path and ~5.3 ns for quad-gather).
+VMEM. End-to-end at the bench shape this is 109.6k full-pyramid
+matches/s/chip vs 29k for the one-hot path and ~10k for quad-gather —
+driver-recorded BENCH_r04 and on-device validation in
+PALLAS_TPU_VALIDATION.json; per-GN-step cost breakdown in PERF.md
+("Round 4: landing the Pallas VMEM matcher").
 
 Fallback ladder, most granular first:
   1. queries that overflow their window are repaired individually

@@ -75,6 +75,11 @@ def timed(wr, bpb):
     return B / dt
 
 
-timed(24, 8)    # current default
+# timed(24, 8)  # baseline measured: 76.7k on the ring workload
 timed(16, 8)
 timed(16, 16)
+
+# MEASURED (2026-08-21, ring workload): wr=24 bpb=8 -> 76.7k matches/s,
+# frac=1.0; wr=16 bpb=8 -> 22.0k, frac=0.57, 6 overflow steps — the
+# 8-row slack of wr=16 cannot absorb the GN-iterate spread, so every
+# overflowing step pays the full quad fallback. wr=24 stays the default.
