@@ -263,6 +263,7 @@ def interp_moments_pallas(
     wc: int = WC,
     bpb: int = BPB,
     interpret: bool = False,
+    precomputed=None,         # optional (tx, ty, sin_t, cos_t, y0f, x0f)
 ) -> PallasMoments:
     """Raw kernel launch: normal-equation moments for every hypothesis.
 
@@ -270,6 +271,10 @@ def interp_moments_pallas(
     kernel is correct regardless — loose windows only raise bad_count).
     Queries outside their window are ZEROED, not repaired, here; use
     ``moments_with_repair`` (or ``gn_step_pallas``) for exact totals.
+
+    ``precomputed``: the prologue tensors when the caller already built
+    them (gn_step_pallas shares one transform + window-bases pass
+    between the kernel and the repair instead of computing both twice).
     """
     h, w = shape
     b_total = poses_map.shape[0]
@@ -280,12 +285,14 @@ def interp_moments_pallas(
     g_sub = b_total // s_per
     chunks = s_per // CHUNK
 
-    tx, ty, sin_t, cos_t = _transform_batch(poses_map, points)
+    if precomputed is None:
+        tx, ty, sin_t, cos_t = _transform_batch(poses_map, points)
+        y0f, x0f, _ = _window_bases(tx, ty, mask, shape, s_per, wr, wc)
+    else:
+        tx, ty, sin_t, cos_t, y0f, x0f = precomputed
     pose_t = jnp.concatenate([
         sin_t[None], cos_t[None],
         jnp.zeros((6, b_total), jnp.float32)], axis=0)     # [8, B]
-
-    y0f, x0f, _ = _window_bases(tx, ty, mask, shape, s_per, wr, wc)
 
     kern = _make_kernel(h, w, s_per, wr, wc, bpb, n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -430,6 +437,7 @@ def repair_moments(
     dtr: jnp.ndarray,         # f32[B, 3]
     k_budget: int,
     s_per: int, wr: int, wc: int,
+    precomputed=None,         # optional (tx, ty, sin_t, cos_t, bad)
 ):
     """Granular repair: re-evaluate ONLY the window-overflow queries via
     the exact quad-gather math and segment-sum the corrections into the
@@ -438,8 +446,11 @@ def repair_moments(
     ``overflowed`` is True when n_bad > k_budget: the repair is then
     incomplete and the caller must take the full fallback path.
     """
-    tx, ty, sin_t, cos_t = _transform_batch(poses_map, points)
-    _, _, bad = _window_bases(tx, ty, mask, shape, s_per, wr, wc)
+    if precomputed is None:
+        tx, ty, sin_t, cos_t = _transform_batch(poses_map, points)
+        _, _, bad = _window_bases(tx, ty, mask, shape, s_per, wr, wc)
+    else:
+        tx, ty, sin_t, cos_t, bad = precomputed
     n_bad = jnp.sum(bad).astype(jnp.int32)
     overflowed = n_bad > jnp.int32(k_budget)
 

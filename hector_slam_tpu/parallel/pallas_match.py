@@ -101,12 +101,21 @@ def gn_step_pallas(grid, quad, shape, estimates_map, points, mask,
     order = jnp.argsort(estimates_map[:, 2])
     pm = estimates_map[order]
 
+    # ONE prologue pass (transform + window bases) shared by the kernel
+    # launch and the repair — each used to recompute its own copy
+    from ..ops.pallas_interp import _transform_batch, _window_bases
+    tx, ty, sin_t, cos_t = _transform_batch(pm, points)
+    y0f, x0f, bad = _window_bases(tx, ty, mask, shape, s_per, wr, wc)
+
     mom = interp_moments_pallas(grid, shape, pm, points, mask,
                                 s_per=s_per, wr=wr, wc=wc, bpb=bpb,
-                                interpret=interpret)
+                                interpret=interpret,
+                                precomputed=(tx, ty, sin_t, cos_t,
+                                             y0f, x0f))
     hess_s, dtr_s, n_bad, overflowed = repair_moments(
         quad, shape, pm, points, mask, mom.hess, mom.dtr,
-        k_budget, s_per, wr, wc)
+        k_budget, s_per, wr, wc,
+        precomputed=(tx, ty, sin_t, cos_t, bad))
 
     inv = jnp.argsort(order)
     hess = hess_s[inv]
