@@ -52,8 +52,8 @@ def _beam_geometry(grid_shape, pose_world, scan_points, scan_origo,
                    scan_mask, offset, scale):
     """Shared rasterization prologue: beam start/end cells, validity and
     Bresenham parameters (exact reference rounding/validity semantics,
-    OccGridMapBase.h:134-158,176,186). Used by both the XLA scatter path
-    and the Pallas paint kernel so the cell choice is identical."""
+    OccGridMapBase.h:134-158,176,186). Used by both the dense-slot and
+    segment-compacted scatter paths so the cell choice is identical."""
     h, w = grid_shape
     pose_map = world_to_map_pose(pose_world, offset, scale)
     s = jnp.sin(pose_map[2])

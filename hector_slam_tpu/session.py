@@ -121,6 +121,10 @@ class SlamSession:
         self._match_times_ms.clear()
         self._update_times_ms.clear()
         self._published_update_count = -1
+        # a pre-reset odometry latch must not propagate a stale delta
+        # into the fresh trajectory; the geotiff timer re-arms too
+        self._last_odom = None
+        self._next_geotiff_stamp = None
 
     def reset_with_pose(self, pose) -> None:
         """restart_mapping_with_new_pose: reset maps AND seed the pose."""
