@@ -220,12 +220,6 @@ def match_hypotheses_pallas(
         pts = scan.points * factor if level > 0 else scan.points
         iters = (cfg.match.iterations_finest if level == 0
                  else cfg.match.iterations_coarse)
-        # coarse levels see the query spread shrunk by 2^-level (points
-        # and translations scale down), so a 16-row window (2 sublane
-        # slabs instead of 3) suffices there — ~1/3 less in-kernel work
-        # for the 2x(iters+1) coarse GN steps. Exactness is unaffected:
-        # a too-tight window only raises the repaired-query count.
-        wr_level = wr if level == 0 else max(16, wr - 8)
         shape = log_odds_pyramid[level].shape[-2:]
         if quads is not None and len(quads) > level:
             quad = quads[level]
@@ -235,14 +229,14 @@ def match_hypotheses_pallas(
             quad = quad_pack(grid)
         offset = mcfg.top_left_offset
         scale = mcfg.level_scale(level)
-        use_kernel = pallas_level_supported(shape, wr_level, wc)
+        use_kernel = pallas_level_supported(shape, wr, wc)
 
         est = jax.vmap(lambda p: world_to_map_pose(p, offset, scale))(poses)
         for _ in range(iters + 1):
             if use_kernel:
                 est, hess, d = gn_step_pallas(
                     grid, quad, shape, est, pts, scan.mask,
-                    s_per=s_per, wr=wr_level, wc=wc, bpb=bpb,
+                    s_per=s_per, wr=wr, wc=wc, bpb=bpb,
                     k_budget=k_budget, interpret=interpret)
                 diag = MatchDiag(*(a + b for a, b in zip(diag, d)))
             else:
