@@ -28,7 +28,7 @@ the VPU with no data-dependent loop.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -114,48 +114,78 @@ def rasterize_scan(
     auto-derived cap (SlamConfig.max_ray_cells == 0 -> max(size_x, size_y))
     no in-map beam can ever truncate.
     """
-    h, w = grid_shape
-    num_cells = h * w
+    p = _bresenham_params(grid_shape, pose_world, scan_points,
+                          scan_origo, scan_mask, offset, scale)
+    free_set = _dense_free_set(p, grid_shape, max_ray_cells)
+    occ_set = _occ_set(p, grid_shape)
+    return free_set, occ_set, _truncated_count(p, max_ray_cells)
 
+
+class _RayParams(NamedTuple):
+    """Flat-offset Bresenham parameters for one scan's beams (the cited
+    closed form: free cell j of a beam sits at
+    start + j*offset_a + ((abs_da//2 + j*abs_db)//abs_da)*offset_b)."""
+
+    ex: jnp.ndarray            # i32[N] end cell x
+    ey: jnp.ndarray            # i32[N] end cell y
+    valid: jnp.ndarray         # bool[N]
+    abs_da: jnp.ndarray        # i32[N] dominant-axis span
+    abs_db: jnp.ndarray        # i32[N] minor-axis span
+    offset_a: jnp.ndarray      # i32[N] flat step per dominant cell
+    offset_b: jnp.ndarray      # i32[N] flat step on minor advance
+    start_offset: jnp.ndarray  # i32[] shared sensor-origin cell
+
+
+def _bresenham_params(grid_shape, pose_world, scan_points, scan_origo,
+                      scan_mask, offset, scale) -> _RayParams:
+    w = grid_shape[1]
     (bx, by, ex, ey, valid, dx, dy, x_dom, abs_da, abs_db) = \
         _beam_geometry(grid_shape, pose_world, scan_points, scan_origo,
                        scan_mask, offset, scale)
     offset_dx = _sign_ref(dx)
     offset_dy = _sign_ref(dy) * w
-    offset_a = jnp.where(x_dom, offset_dx, offset_dy)
-    offset_b = jnp.where(x_dom, offset_dy, offset_dx)
-    start_offset = by * w + bx
+    return _RayParams(
+        ex=ex, ey=ey, valid=valid, abs_da=abs_da, abs_db=abs_db,
+        offset_a=jnp.where(x_dom, offset_dx, offset_dy),
+        offset_b=jnp.where(x_dom, offset_dy, offset_dx),
+        start_offset=by * w + bx,
+    )
 
-    # closed-form Bresenham: free cell j (j = 0..abs_da-1) sits at
-    # start + j*offset_a + ((abs_da//2 + j*abs_db)//abs_da)*offset_b
-    abs_da_safe = jnp.maximum(abs_da, 1)  # valid beams have abs_da >= 1
+
+def _scatter_true(flat: jnp.ndarray, grid_shape) -> jnp.ndarray:
+    """Commutative scatter-OR; the sentinel index (== num cells) drops."""
+    h, w = grid_shape
+    return (jnp.zeros(h * w, jnp.bool_)
+            .at[flat.reshape(-1)].set(True, mode="drop")
+            .reshape(h, w))
+
+
+def _dense_free_set(p: _RayParams, grid_shape, max_ray_cells: int):
+    """Free set via the dense [N, K] slot scatter (one slot per possible
+    cell of every beam; masked slots target the drop sentinel)."""
+    num_cells = grid_shape[0] * grid_shape[1]
+    abs_da_safe = jnp.maximum(p.abs_da, 1)  # valid beams have abs_da >= 1
     steps = jnp.arange(max_ray_cells, dtype=jnp.int32)[None, :]   # [1,K]
-    err0 = (abs_da // 2)[:, None]
-    minor = (err0 + steps * abs_db[:, None]) // abs_da_safe[:, None]
-    # start_offset is a scalar (all beams share the sensor origin cell)
-    free_flat = (start_offset + steps * offset_a[:, None]
-                 + minor * offset_b[:, None])
-    free_mask = valid[:, None] & (steps < abs_da[:, None])
-    # invalid entries scatter to the dropped sentinel index
-    free_flat = jnp.where(free_mask, free_flat, num_cells)
-    occ_flat = jnp.where(valid, ey * w + ex, num_cells)
+    err0 = (p.abs_da // 2)[:, None]
+    minor = (err0 + steps * p.abs_db[:, None]) // abs_da_safe[:, None]
+    free_flat = (p.start_offset + steps * p.offset_a[:, None]
+                 + minor * p.offset_b[:, None])
+    free_mask = p.valid[:, None] & (steps < p.abs_da[:, None])
+    return _scatter_true(jnp.where(free_mask, free_flat, num_cells),
+                         grid_shape)
 
+
+def _occ_set(p: _RayParams, grid_shape) -> jnp.ndarray:
+    num_cells = grid_shape[0] * grid_shape[1]
+    occ_flat = jnp.where(p.valid, p.ey * grid_shape[1] + p.ex, num_cells)
+    return _scatter_true(occ_flat, grid_shape)
+
+
+def _truncated_count(p: _RayParams, max_ray_cells: int) -> jnp.ndarray:
     # cells silently dropped by the static cap (reference marks them all)
-    truncated = jnp.sum(jnp.where(
-        valid, jnp.maximum(abs_da - max_ray_cells, 0), 0)).astype(jnp.int32)
-
-    # commutative scatter-OR; sentinel (== num_cells) is dropped
-    free_set = (
-        jnp.zeros(num_cells, jnp.bool_)
-        .at[free_flat.reshape(-1)].set(True, mode="drop")
-        .reshape(h, w)
-    )
-    occ_set = (
-        jnp.zeros(num_cells, jnp.bool_)
-        .at[occ_flat].set(True, mode="drop")
-        .reshape(h, w)
-    )
-    return free_set, occ_set, truncated
+    return jnp.sum(jnp.where(
+        p.valid, jnp.maximum(p.abs_da - max_ray_cells, 0),
+        0)).astype(jnp.int32)
 
 
 _SEG = 64   # cells per compacted beam segment
@@ -190,27 +220,20 @@ def rasterize_scan_seg(
     the whole rasterization falls back to the dense path via lax.cond:
     exact always, slower only for that scan.
     """
-    h, w = grid_shape
-    num_cells = h * w
+    num_cells = grid_shape[0] * grid_shape[1]
     n_beams = scan_points.shape[0]
     k_seg = -(-max_ray_cells // _SEG)
     if budget_segments <= 0:
         budget_segments = max(8, (n_beams * k_seg) // 4)
 
-    (bx, by, ex, ey, valid, dx, dy, x_dom, abs_da, abs_db) = \
-        _beam_geometry(grid_shape, pose_world, scan_points, scan_origo,
-                       scan_mask, offset, scale)
-    offset_dx = _sign_ref(dx)
-    offset_dy = _sign_ref(dy) * w
-    offset_a = jnp.where(x_dom, offset_dx, offset_dy)
-    offset_b = jnp.where(x_dom, offset_dy, offset_dx)
-    start_offset = by * w + bx
-    abs_da_safe = jnp.maximum(abs_da, 1)
-    err0 = abs_da // 2
-    length = jnp.minimum(abs_da, max_ray_cells)   # painted cells per beam
+    p = _bresenham_params(grid_shape, pose_world, scan_points,
+                          scan_origo, scan_mask, offset, scale)
+    abs_da_safe = jnp.maximum(p.abs_da, 1)
+    err0 = p.abs_da // 2
+    length = jnp.minimum(p.abs_da, max_ray_cells)  # painted cells/beam
 
     # valid segments per beam: ceil(length/SEG); compact (beam, seg) ids
-    n_seg = jnp.where(valid, -(-length // _SEG), 0)          # [N]
+    n_seg = jnp.where(p.valid, -(-length // _SEG), 0)        # [N]
     seg_valid = (jnp.arange(k_seg, dtype=jnp.int32)[None, :]
                  < n_seg[:, None])                           # [N, K_seg]
     pos = jnp.cumsum(seg_valid.reshape(-1).astype(jnp.int32))
@@ -226,38 +249,20 @@ def rasterize_scan_seg(
     def seg_path(_):
         j = (s_i[:, None] * _SEG
              + jnp.arange(_SEG, dtype=jnp.int32)[None, :])   # [B, SEG]
-        minor = (err0[b_i][:, None] + j * abs_db[b_i][:, None]) \
+        minor = (err0[b_i][:, None] + j * p.abs_db[b_i][:, None]) \
             // abs_da_safe[b_i][:, None]
-        flat = (start_offset + j * offset_a[b_i][:, None]
-                + minor * offset_b[b_i][:, None])
+        flat = (p.start_offset + j * p.offset_a[b_i][:, None]
+                + minor * p.offset_b[b_i][:, None])
         keep = slot_ok[:, None] & (j < length[b_i][:, None])
-        flat = jnp.where(keep, flat, num_cells)
-        return (jnp.zeros(num_cells, jnp.bool_)
-                .at[flat.reshape(-1)].set(True, mode="drop"))
-
-    def dense_path(_):
-        steps = jnp.arange(max_ray_cells, dtype=jnp.int32)[None, :]
-        minor = (err0[:, None] + steps * abs_db[:, None]) \
-            // abs_da_safe[:, None]
-        flat = (start_offset + steps * offset_a[:, None]
-                + minor * offset_b[:, None])
-        keep = valid[:, None] & (steps < abs_da[:, None])
-        flat = jnp.where(keep, flat, num_cells)
-        return (jnp.zeros(num_cells, jnp.bool_)
-                .at[flat.reshape(-1)].set(True, mode="drop"))
+        return _scatter_true(jnp.where(keep, flat, num_cells),
+                             grid_shape)
 
     free_set = jax.lax.cond(total > jnp.int32(budget_segments),
-                            dense_path, seg_path, None).reshape(h, w)
-
-    occ_flat = jnp.where(valid, ey * w + ex, num_cells)
-    occ_set = (
-        jnp.zeros(num_cells, jnp.bool_)
-        .at[occ_flat].set(True, mode="drop")
-        .reshape(h, w)
-    )
-    truncated = jnp.sum(jnp.where(
-        valid, jnp.maximum(abs_da - max_ray_cells, 0), 0)).astype(jnp.int32)
-    return free_set, occ_set, truncated
+                            lambda _: _dense_free_set(p, grid_shape,
+                                                      max_ray_cells),
+                            seg_path, None)
+    occ_set = _occ_set(p, grid_shape)
+    return free_set, occ_set, _truncated_count(p, max_ray_cells)
 
 
 def update_level(

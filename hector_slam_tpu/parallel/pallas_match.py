@@ -55,10 +55,12 @@ _VMEM_GRID_BYTES = 8 * 1024 * 1024   # grids above this use the quad path
 class MatchDiag(NamedTuple):
     """Fast-path engagement telemetry (round-2 VERDICT weak #3).
 
-    Counts are float32: query totals scale as hypotheses x beams x GN
-    steps and can exceed int32 at large-batch/high-iteration presets
+    The QUERY totals (total/slow) are float32: they scale as hypotheses
+    x beams x GN steps and can exceed int32 at large-batch presets
     (round-3 ADVICE #3); the consumer is a fraction, so f32 is the right
-    dtype."""
+    dtype. The two EVENT counters stay int32: repaired_queries is
+    bounded by k_budget per step and overflow_steps by the step count —
+    both orders of magnitude under 2^31 even summed across levels."""
 
     repaired_queries: jnp.ndarray   # i32[] window-overflow queries repaired
     overflow_steps: jnp.ndarray     # i32[] GN steps that hit the budget
@@ -241,6 +243,13 @@ def match_hypotheses_pallas(
                 diag = MatchDiag(*(a + b for a, b in zip(diag, d)))
             else:
                 est, hess = _gn_step_quad(quad, shape, est, pts, scan.mask)
+                # statically-unsupported levels run the slow path for
+                # every query — count them so fast_path_fraction stays
+                # honest (e.g. a 2048^2 level 0 dominating the cost must
+                # not read as fraction ~1.0)
+                q = jnp.float32(np.float32(b_total * pts.shape[0]))
+                diag = diag._replace(total_queries=diag.total_queries + q,
+                                     slow_queries=diag.slow_queries + q)
         est = est.at[:, 2].set(jax.vmap(normalize_angle)(est[:, 2]))
         world = jax.vmap(lambda e: map_to_world_pose(
             e, offset, mcfg.level_resolution(level)))(est)

@@ -79,8 +79,11 @@ class SlamSession:
         param + timer, hector_geotiff/src/geotiff_node.cpp:79-86,
         :250-253): every ``period`` seconds of SCAN-STAMP time the map
         is re-rendered to ``geotiff_base_path`` (same files overwritten,
-        matching the reference's fixed base name). Scan stamps — not
-        wall clock — drive the timer so log replay is deterministic."""
+        matching the reference's fixed base name). The timer advances on
+        scan-stamp time (deterministic for log replay) or wall time
+        since the first scan, whichever is further along — so a live
+        driver that never stamps its scans still gets the reference
+        node's wall-clock timer behavior."""
         if timing_mode not in ("step", "phases"):
             raise ValueError(f"unknown timing_mode {timing_mode!r}")
         self.cfg = cfg
@@ -103,6 +106,7 @@ class SlamSession:
         self.geotiff_save_period = float(geotiff_save_period)
         self.geotiff_base_path = geotiff_base_path
         self._next_geotiff_stamp: Optional[float] = None
+        self._geotiff_wall_t0: Optional[float] = None
         self.meta = grid_meta(cfg.map)
 
     # ---- controls ----------------------------------------------------------
@@ -125,6 +129,7 @@ class SlamSession:
         # into the fresh trajectory; the geotiff timer re-arms too
         self._last_odom = None
         self._next_geotiff_stamp = None
+        self._geotiff_wall_t0 = None
 
     def reset_with_pose(self, pose) -> None:
         """restart_mapping_with_new_pose: reset maps AND seed the pose."""
@@ -186,8 +191,8 @@ class SlamSession:
     def process_points(self, points_base, stamp: float = 0.0,
                        pose_hint=None, origo=(0.0, 0.0),
                        z_min: float = -1.0, z_max: float = 1.0,
-                       min_dist: float = 0.4, max_dist: float = 30.0
-                       ) -> Optional[np.ndarray]:
+                       min_dist: float = 0.4, max_dist: float = 30.0,
+                       odom_pose=None) -> Optional[np.ndarray]:
         """Cartesian point path (rosPointCloudToDataContainer,
         HectorMappingRos.cpp:509-542) with the reference's three filters:
         squared-range window (laser_min_dist/laser_max_dist params,
@@ -205,7 +210,7 @@ class SlamSession:
             pts = pts[keep, :2]
         scan = scan_from_points(pts, self.cfg.map.level_scale(0),
                                 self.cfg.max_beams, origo)
-        return self.process_scan(scan, stamp, pose_hint)
+        return self.process_scan(scan, stamp, pose_hint, odom_pose)
 
     def process_scan(self, scan: Scan, stamp: float = 0.0,
                      pose_hint=None, odom_pose=None
@@ -265,13 +270,22 @@ class SlamSession:
         if self.on_map_update is not None and bool(metrics.map_updated):
             self.on_map_update(self)
         if self.geotiff_save_period > 0.0:
+            # clock = scan-stamp time (deterministic for log replay) or
+            # wall time since the first scan, whichever is further along
+            # — a live driver that never stamps its scans still gets the
+            # reference node's wall-clock timer behavior
+            # (geotiff_node.cpp:79-86)
+            if self._geotiff_wall_t0 is None:
+                self._geotiff_wall_t0 = time.perf_counter() - float(stamp)
+            clock = max(float(stamp),
+                        time.perf_counter() - self._geotiff_wall_t0)
             if self._next_geotiff_stamp is None:
                 # first save one period after the first scan, like the
                 # reference's ros::Timer armed at node start
-                self._next_geotiff_stamp = stamp + self.geotiff_save_period
-            elif stamp >= self._next_geotiff_stamp:
+                self._next_geotiff_stamp = clock + self.geotiff_save_period
+            elif clock >= self._next_geotiff_stamp:
                 self.save_geotiff(self.geotiff_base_path)
-                self._next_geotiff_stamp = stamp + self.geotiff_save_period
+                self._next_geotiff_stamp = clock + self.geotiff_save_period
         return pose
 
     # ---- recovery ----------------------------------------------------------
@@ -317,11 +331,13 @@ class SlamSession:
         contract (tests pin them against each other and a f64 oracle).
 
         Returns {"pose", "residual", "accepted", "improvement",
-        "fast_path_fraction", "overflow_steps"} — ``accepted`` is False
-        (pose and covariance untouched) when no hypothesis strictly beats
-        the current pose's residual; the GN-refined incumbent counts as a
-        challenger like any other, so accepted can be True with the
-        winner being hypothesis 0's refinement.
+        "fast_path_fraction", "overflow_steps"}. ``accepted`` is False
+        (pose and covariance untouched) unless some CHALLENGER strictly
+        beats the GN-refined incumbent's residual — the refined
+        incumbent itself is the bar, never applied: refining the current
+        pose is the tracker's job (process_scan), and re-seeding from it
+        here would double-apply a GN step. ``fast_path_fraction`` is
+        None for method="quad" (there is no fast path to engage).
         """
         if scan is None:
             scan = self._last_scan
@@ -348,7 +364,7 @@ class SlamSession:
         hyp_j = jnp.asarray(hyp)
 
         from .parallel.batch import residual_for_poses
-        frac, overflow_steps = 1.0, 0
+        frac, overflow_steps = None, 0
         if method == "pallas":
             from .parallel.pallas_match import match_hypotheses_pallas_jit
             result, diag = match_hypotheses_pallas_jit(

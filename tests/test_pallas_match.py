@@ -224,7 +224,12 @@ def test_match_hypotheses_pallas_vs_quad_driver(rng):
     err = np.abs(np.asarray(res_p.pose) - np.asarray(res_q.pose)).max()
     assert err < 2e-3, err
     assert int(diag.total_queries) > 0
-    assert float(diag.fast_path_fraction()) > 0.95
+    # level 1 (128x128) is statically unsupported (w < wc) and runs the
+    # quad path — its 4 GN steps must COUNT AS SLOW, so the honest
+    # fraction is the finest level's 6 steps out of 10 = 0.6 (minus any
+    # repaired queries on the fast level)
+    frac = float(diag.fast_path_fraction())
+    assert 0.55 < frac <= 0.6 + 1e-6, frac
 
 
 def test_unsupported_level_geometry_falls_back():
