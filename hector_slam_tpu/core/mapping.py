@@ -279,7 +279,6 @@ def update_level(
     beam_axis: str | None = None,
     cell_model: str = "log_odds",
     raster_backend: str | None = None,
-    raster_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Applies one scan's log-odds update to one level (see module doc for
     the scatter-mask derivation from OccGridMapBase.h:216-241).
@@ -300,7 +299,6 @@ def update_level(
     PERF.md round 4 and tools/probe_mosaic_store.py.)
     """
     shape = log_odds.shape[-2:]
-    del raster_interpret   # kept for call-site compatibility
     if raster_backend is None:
         raster_backend = ("seg" if jax.default_backend() == "tpu"
                           and beam_axis is None else "xla")
@@ -331,7 +329,6 @@ def update_pyramid(
     cfg: SlamConfig,
     beam_axis: str | None = None,
     raster_backend: str | None = None,
-    raster_interpret: bool = False,
 ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
     """MapRepMultiMap::updateByScan (MapRepMultiMap.h:134-147): every level
     updated independently with its 2^-level-scaled scan.
@@ -351,7 +348,7 @@ def update_pyramid(
             cfg.level_max_ray_cells(level),
             cfg.update.log_odds_free, cfg.update.log_odds_occupied,
             beam_axis, cfg.update.cell_model,
-            raster_backend, raster_interpret,
+            raster_backend,
         )
         out.append(new_lo)
         truncated_total = truncated_total + truncated
