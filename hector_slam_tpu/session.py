@@ -35,24 +35,6 @@ from .io.scanlog import LaserModel, scan_from_ranges, scan_from_points
 from .types import Scan, SlamState
 
 
-def _pallas_spread_ok(sigma_xy: float, sigma_theta: float,
-                      cfg: SlamConfig, beam_radius_m: float = 10.0) -> bool:
-    """Will a hypothesis cloud of this spread keep the Pallas matcher's
-    [24, 256]-cell windows engaged? Per theta-sorted 128-hypothesis
-    chunk, the window must absorb ~2.5 sigma of translation plus the
-    chunk's theta range swept at beam radius; the aligned 24-row window
-    leaves ~14 rows of slack (ops/pallas_interp.py window geometry).
-    Beyond that, every GN step overflows the repair budget and demotes
-    to the slow quad fallback — the MXU matcher's [64, 256] patches are
-    the better wide-spread engine."""
-    scale = cfg.map.level_scale(0)
-    # a 128-chunk of a theta-sorted normal cloud spans roughly a quarter
-    # of the +-2.5 sigma range for typical n_hypotheses ~ 1k
-    chunk_theta = 5.0 * sigma_theta / 4.0
-    row_spread = 2.5 * sigma_xy * scale + chunk_theta * beam_radius_m * scale
-    return row_spread < 14.0
-
-
 class SlamSession:
     """Stateful convenience wrapper around the functional core. All the
     actual computation is the jitted ``slam_step``; this class only holds
@@ -320,12 +302,13 @@ class SlamSession:
             picked from the ACTUAL hypothesis theta spread
             (onehot_match.auto_num_buckets);
           - "quad"   — the exact quad-gather vmap path;
-          - None     — auto: on TPU, "pallas" when the requested spread
-            fits the kernel's [24, 256] windows (tracking-loss recovery
-            nearby) and "mxu" for wide kidnap-scale spreads (whose
-            window overflow would demote every Pallas step to the slow
-            fallback — the [64, 256] MXU patches absorb them); "quad"
-            off-TPU.
+          - None     — auto: "pallas" on TPU, "quad" elsewhere. Measured
+            (round 4): at tight tracking-recovery spreads the kernel is
+            fully engaged (~110k matches/s); at kidnap-scale spreads
+            (0.5 m / 0.3 rad) every chunk's window overflows and the
+            step demotes to the exact fallback, yet the pallas driver
+            still edges the MXU matcher (9.8k vs 8.4k matches/s at
+            B=1024), so routing by spread buys nothing.
         ``use_pallas`` (bool) is the legacy spelling of
         method="pallas"/"quad". All methods share the same numerics
         contract (tests pin them against each other and a f64 oracle).
@@ -345,13 +328,9 @@ class SlamSession:
             raise ValueError("no scan to relocalize against — process one "
                              "first or pass scan=")
         if method is None:
-            if use_pallas is None and jax.default_backend() == "tpu":
-                method = ("pallas" if _pallas_spread_ok(
-                    sigma_xy, sigma_theta, self.cfg) else "mxu")
-            elif use_pallas:
-                method = "pallas"
-            else:
-                method = "quad"
+            if use_pallas is None:
+                use_pallas = jax.default_backend() == "tpu"
+            method = "pallas" if use_pallas else "quad"
         if method not in ("pallas", "mxu", "quad"):
             raise ValueError(f"unknown method {method!r}")
 
