@@ -7,13 +7,9 @@ N beams in one jitted evaluation instead of 7 serial scans.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
-from ..config import SlamConfig
 from ..types import Scan
 from .interp import interp_with_derivatives
 

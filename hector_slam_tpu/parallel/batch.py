@@ -13,8 +13,7 @@ Batch axes (BASELINE.json configs 4-5):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
