@@ -112,6 +112,11 @@ def interp_with_derivatives(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (M, dM/dx, dM/dy), each f32[...]; zeros when out of bounds.
 
+    NON-PRODUCTION PATH: this 4-gather variant is the executable spec —
+    production flows through ``interp_quad``/the Pallas kernel (one
+    gather of the quad-packed layout); this form is kept as their
+    bit-equality cross-check (tests/test_interp.py).
+
     ``cell_model``: "log_odds" converts gathered values through the
     sigmoid; "simple_count" gathers probabilities directly (also the
     path used for a precomputed reflectance prob grid)."""

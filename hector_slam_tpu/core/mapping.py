@@ -215,16 +215,26 @@ def rasterize_scan_seg(
 
     Cell sets are bit-identical to ``rasterize_scan`` (same closed-form
     Bresenham, same indices; tests assert equality). If a scan's segment
-    count exceeds the static ``budget_segments`` (default: a quarter of
-    the dense slot count — beams averaging ≥ max_ray_cells/4 length),
-    the whole rasterization falls back to the dense path via lax.cond:
-    exact always, slower only for that scan.
+    count exceeds the static ``budget_segments``, the whole
+    rasterization falls back to the dense path via lax.cond: exact
+    always, slower only for that scan.
+
+    Default budget (round 5, VERDICT #5 — tightened from round 4's
+    dense/4 rule against measured telemetry on the 435-scan corridor
+    fixture): a sixth of the dense slot count, floored at 1.25x
+    n_beams. The floor matters at coarse levels where every beam needs
+    >= 1 segment — round 4's dense/4 rule sat BELOW n_beams there
+    (864 < 1152 at the bench config's level 2), so the seg path could
+    never engage and silently paid the dense scatter. Measured segment
+    usage maxima on the fixture: 0.68-0.81x the NEW budgets at every
+    level of both standard configs.
     """
     num_cells = grid_shape[0] * grid_shape[1]
     n_beams = scan_points.shape[0]
     k_seg = -(-max_ray_cells // _SEG)
     if budget_segments <= 0:
-        budget_segments = max(8, (n_beams * k_seg) // 4)
+        budget_segments = max(8, n_beams + (n_beams >> 2),
+                              (n_beams * k_seg) // 6)
 
     p = _bresenham_params(grid_shape, pose_world, scan_points,
                           scan_origo, scan_mask, offset, scale)

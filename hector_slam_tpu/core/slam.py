@@ -61,6 +61,7 @@ def slam_step(
     pose_hint: Optional[jnp.ndarray] = None,
     map_without_matching: bool = False,
     beam_axis: Optional[str] = None,
+    raster_backend: Optional[str] = None,
 ) -> Tuple[SlamState, StepMetrics]:
     """One scan update (HectorSlamProcessor::update, :71-113).
 
@@ -69,7 +70,10 @@ def slam_step(
     is static (it changes the traced program). ``beam_axis`` is the mesh
     axis name when the scan's beam dimension is sharded across devices
     (shard_map): normal equations and rasterized cell sets are then
-    psum-combined over ICI.
+    psum-combined over ICI. ``raster_backend`` forces the map-update
+    scatter backend (see core/mapping.update_level) — vmapped callers
+    (fleet_step) pass "xla" because a vmapped lax.cond lowers to select
+    and would execute BOTH the seg and dense branches.
     """
     hint = state.pose if pose_hint is None else pose_hint
 
@@ -83,7 +87,7 @@ def slam_step(
         hessian = result.hessian
 
     return _finish_step(state, scan, cfg, new_pose, hessian,
-                        map_without_matching, beam_axis)
+                        map_without_matching, beam_axis, raster_backend)
 
 
 def _finish_step(
@@ -94,6 +98,7 @@ def _finish_step(
     hessian: jnp.ndarray,
     map_without_matching: bool = False,
     beam_axis: Optional[str] = None,
+    raster_backend: Optional[str] = None,
 ) -> Tuple[SlamState, StepMetrics]:
     """The gate -> conditional-map-update -> state-assembly tail of
     slam_step (HectorSlamProcessor.h:89-113), split out so the match and
@@ -106,7 +111,8 @@ def _finish_step(
         do_update = jnp.bool_(True)
 
     def with_update(pyramid):
-        return update_pyramid(pyramid, new_pose, scan, cfg, beam_axis)
+        return update_pyramid(pyramid, new_pose, scan, cfg, beam_axis,
+                              raster_backend)
 
     def without_update(pyramid):
         return tuple(pyramid), jnp.zeros((), jnp.int32)

@@ -82,6 +82,34 @@ class World:
                 box(-3.0, 2.0, 0.5) + box(3.5, -3.0, 0.7)
         return World(np.asarray(segs, np.float64))
 
+    @staticmethod
+    def multi_room(size: float = 12.0, door: float = 1.2,
+                   with_clutter: bool = True) -> "World":
+        """Four rooms in a 2x2 grid with doorways centered on the four
+        points (size/4, size/2), (size/2, size/4), (3size/4, size/2),
+        (size/2, 3size/4) — a radius-size/4 circle about the center
+        passes through all four doors, so ``loop_trajectory`` visits
+        every room and REVISITS its start (loop-closure-style content
+        the single-corridor fixture lacks; round-4 VERDICT #4)."""
+        s, h, q, d = size, size / 2.0, size / 4.0, door / 2.0
+        segs: List[Tuple[float, float, float, float]] = [
+            (0.0, 0.0, s, 0.0), (s, 0.0, s, s),
+            (s, s, 0.0, s), (0.0, s, 0.0, 0.0),
+            # vertical divider x = h with doors at y = q and y = 3q
+            (h, 0.0, h, q - d), (h, q + d, h, 3 * q - d), (h, 3 * q + d, h, s),
+            # horizontal divider y = h with doors at x = q and x = 3q
+            (0.0, h, q - d, h), (q + d, h, 3 * q - d, h), (3 * q + d, h, s, h),
+        ]
+        if with_clutter:
+            # per-room boxes/pillars placed off the loop circle
+            for bx, by, bs in [(1.2, 1.3, 0.35), (4.7, 4.6, 0.3),
+                               (s - 1.3, 1.4, 0.4), (7.4, 4.7, 0.25),
+                               (s - 1.2, s - 1.4, 0.35), (7.3, 7.5, 0.3),
+                               (1.3, s - 1.2, 0.4), (4.6, 7.4, 0.25),
+                               (2.2, 5.0, 0.15), (s - 2.3, 7.0, 0.15)]:
+                segs += box(bx, by, bs)
+        return World(np.asarray(segs, np.float64))
+
 
 def box(cx: float, cy: float, half: float):
     return [
@@ -126,15 +154,37 @@ def simulate_trajectory(
     laser: LaserModel = LaserModel(),
     range_noise_std: float = 0.0,
     seed: int = 0,
+    transients: Sequence[Tuple[np.ndarray, int, int]] = (),
+    dropout_bursts: Sequence[Tuple[int, int, int, int]] = (),
 ) -> np.ndarray:
-    """Raycast a sequence of poses -> ranges f32[T, num_beams]."""
+    """Raycast a sequence of poses -> ranges f32[T, num_beams].
+
+    Adverse-content hooks (round-4 VERDICT #4):
+      ``transients``: (segments f32[S,4], t_on, t_off) tuples — walls
+        present only for scans t_on <= t < t_off (dynamic obstacles:
+        the map integrates them while present, then the matcher must
+        track against partially-stale cells once they vanish).
+      ``dropout_bursts``: (t_on, t_off, beam_lo, beam_hi) tuples —
+        those beams return 0.0 (below range_min, so the scan converter
+        masks them invalid) for scans in the window: sensor-failure
+        bursts up to whole-scan blackouts (empty scans pin the
+        reference's return-input behavior, ScanMatcher.h:189).
+    """
     rng = np.random.default_rng(seed)
     out = np.empty((len(poses), laser.num_beams), np.float32)
     for i, pose in enumerate(poses):
-        r = raycast(world, pose, laser)
+        active = [s for s, t_on, t_off in transients if t_on <= i < t_off]
+        w = (World(np.concatenate([world.segments]
+                                  + [np.asarray(s, np.float64).reshape(-1, 4)
+                                     for s in active]))
+             if active else world)
+        r = raycast(w, pose, laser)
         if range_noise_std > 0.0:
             r = r + rng.normal(0.0, range_noise_std,
                                r.shape).astype(np.float32)
+        for t_on, t_off, b_lo, b_hi in dropout_bursts:
+            if t_on <= i < t_off:
+                r[b_lo:b_hi] = 0.0
         out[i] = r
     return out
 
@@ -179,6 +229,27 @@ def l_corridor_trajectory(advance: float = 0.05, weave: float = 0.03,
                    y_start + t3 * advance,
                    np.pi / 2.0 + weave * 1.2 * np.cos(t3 * 0.25)], axis=-1)
     return np.concatenate([p1, p2, p3]).astype(np.float32)
+
+
+def loop_trajectory(num_steps: int = 260, size: float = 12.0,
+                    revisit_frac: float = 0.3,
+                    weave: float = 0.0) -> np.ndarray:
+    """The ``World.multi_room`` loop: a circle of radius size/4 about the
+    floor-plan center, threading all four doorways, driven for
+    (1 + revisit_frac) revolutions so the tail REVISITS mapped rooms —
+    the matcher then localizes against cells integrated hundreds of
+    scans earlier (open-loop drift shows up as re-entry error)."""
+    c = size / 2.0
+    r = size / 4.0
+    a = np.linspace(0.0, 2.0 * np.pi * (1.0 + revisit_frac), num_steps)
+    x = c + r * np.cos(a)
+    y = c + r * np.sin(a)
+    theta = a + np.pi / 2.0
+    if weave > 0.0:
+        theta = theta + weave * np.sin(np.arange(num_steps) * 0.3)
+    # keep theta in (-2pi, 2pi): the engine-wide normalize_angle domain
+    theta = np.arctan2(np.sin(theta), np.cos(theta))
+    return np.stack([x, y, theta], axis=-1).astype(np.float32)
 
 
 def room_trajectory(num_steps: int = 80, radius: float = 2.5) -> np.ndarray:

@@ -242,6 +242,23 @@ def _transform_batch(poses_map: jnp.ndarray, points: jnp.ndarray):
     return tx, ty, sin_t, cos_t
 
 
+def _transform_batch_t(poses_map: jnp.ndarray, points: jnp.ndarray):
+    """``_transform_batch`` emitted directly in the TRANSPOSED [N, B]
+    layout the kernel's BlockSpecs consume — avoids materializing a
+    [B, N] array plus a 19 MB transpose copy per GN step (round-5
+    prologue optimization). Per-element f32 arithmetic is the identical
+    expression (same ops, same order), so values are bit-equal to
+    ``_transform_batch(...).T``."""
+    sin_t = jnp.sin(poses_map[:, 2])
+    cos_t = jnp.cos(poses_map[:, 2])
+    px = points[:, 0:1]                          # [N, 1]
+    py = points[:, 1:2]
+    # Eigen affine order: m00*px + (m01*py + t) (core/interp.py:183)
+    txt = cos_t[None, :] * px + (-sin_t[None, :] * py + poses_map[None, :, 0])
+    tyt = sin_t[None, :] * px + (cos_t[None, :] * py + poses_map[None, :, 1])
+    return txt, tyt, sin_t, cos_t
+
+
 class PallasMoments(NamedTuple):
     hess: jnp.ndarray       # f32[B, 3, 3]
     dtr: jnp.ndarray        # f32[B, 3]
@@ -270,9 +287,10 @@ def interp_moments_pallas(
     ``poses_map`` must be sorted by theta for windows to stay tight (the
     kernel is correct regardless — loose windows only raise bad_count).
     Queries outside their window are ZEROED, not repaired, here; use
-    ``moments_with_repair`` (or ``gn_step_pallas``) for exact totals.
+    ``gn_step_pallas`` for exact totals.
 
-    ``precomputed``: the prologue tensors when the caller already built
+    ``precomputed``: the TRANSPOSED prologue tensors (txt, tyt [N, B],
+    sin_t, cos_t [B], y0f, x0f flat bases) when the caller already built
     them (gn_step_pallas shares one transform + window-bases pass
     between the kernel and the repair instead of computing both twice).
     """
@@ -286,10 +304,11 @@ def interp_moments_pallas(
     chunks = s_per // CHUNK
 
     if precomputed is None:
-        tx, ty, sin_t, cos_t = _transform_batch(poses_map, points)
-        y0f, x0f, _ = _window_bases(tx, ty, mask, shape, s_per, wr, wc)
+        txt, tyt, sin_t, cos_t = _transform_batch_t(poses_map, points)
+        y0f, x0f, _, _ = _window_bases_t(txt, tyt, mask, shape,
+                                         s_per, wr, wc)
     else:
-        tx, ty, sin_t, cos_t, y0f, x0f = precomputed
+        txt, tyt, sin_t, cos_t, y0f, x0f = precomputed
     pose_t = jnp.concatenate([
         sin_t[None], cos_t[None],
         jnp.zeros((6, b_total), jnp.float32)], axis=0)     # [8, B]
@@ -319,7 +338,7 @@ def interp_moments_pallas(
                                        jnp.float32),
         interpret=interpret,
     )(points[:, 0], points[:, 1], mask.astype(jnp.int32), y0f, x0f,
-      tx.T, ty.T, pose_t, grid)
+      txt, tyt, pose_t, grid)
 
     mom = jnp.moveaxis(moments, 1, 0).reshape(MOM_ROWS, b_total)  # [R, B]
     hess = jnp.stack([
@@ -367,6 +386,80 @@ def _window_bases(tx, ty, mask, shape, s_per, wr, wc):
     return y0f.astype(jnp.int32), x0f.astype(jnp.int32), bad
 
 
+def _window_bases_t(txt, tyt, mask, shape, s_per, wr, wc):
+    """``_window_bases`` for TRANSPOSED [N, B] query coords. Returns
+    (y0f, x0f) in the kernel's scalar-prefetch layout plus the raw
+    per-(beam, chunk) bases (y0t, x0t) [N, GC] so the repair path can
+    recheck fits WITHOUT redoing the min-reduce. Unlike ``_window_bases``
+    this does NOT compute the per-query bad mask — the kernel already
+    counts bad queries (moment row 9), so the mask is only materialized
+    lazily inside the repair cond (``_bad_mask_t``)."""
+    h, w = shape
+    n, b_total = txt.shape
+    gc = b_total // CHUNK
+    chunks = s_per // CHUNK
+    g_sub = b_total // s_per
+
+    inb = ((txt >= 0.0) & (txt <= jnp.float32(w - 2))
+           & (tyt >= 0.0) & (tyt <= jnp.float32(h - 2)) & mask[:, None])
+    xi = jnp.clip(txt.astype(jnp.int32), 0, w - 2)
+    yi = jnp.clip(tyt.astype(jnp.int32), 0, h - 2)
+    big = jnp.int32(1 << 29)
+    xs = jnp.where(inb, xi, big).reshape(n, gc, CHUNK)
+    ys = jnp.where(inb, yi, big).reshape(n, gc, CHUNK)
+    x0t = jnp.clip((jnp.min(xs, axis=2) // 128) * 128, 0, w - wc)  # [N, GC]
+    y0t = jnp.clip((jnp.min(ys, axis=2) // 8) * 8, 0, h - wr)
+
+    # [N, GC] -> [g_sub, N, chunks] -> flat [(g*n + beam)*chunks + c]
+    x0f = jnp.transpose(x0t.reshape(n, g_sub, chunks), (1, 0, 2)).reshape(-1)
+    y0f = jnp.transpose(y0t.reshape(n, g_sub, chunks), (1, 0, 2)).reshape(-1)
+    return (y0f.astype(jnp.int32), x0f.astype(jnp.int32),
+            y0t.astype(jnp.int32), x0t.astype(jnp.int32))
+
+
+def _bad_mask_t(txt, tyt, mask, shape, y0t, x0t, wr, wc):
+    """bool[N, B] of in-bounds queries outside their chunk's window —
+    the same integer fit check the kernel applies (bit-identical), from
+    the already-computed per-(beam, chunk) bases. Only evaluated inside
+    the repair cond (the kernel's own bad count gates it)."""
+    h, w = shape
+    inb = ((txt >= 0.0) & (txt <= jnp.float32(w - 2))
+           & (tyt >= 0.0) & (tyt <= jnp.float32(h - 2)) & mask[:, None])
+    xi = jnp.clip(txt.astype(jnp.int32), 0, w - 2)
+    yi = jnp.clip(tyt.astype(jnp.int32), 0, h - 2)
+    cx = xi - jnp.repeat(x0t, CHUNK, axis=1)
+    ry = yi - jnp.repeat(y0t, CHUNK, axis=1)
+    fits = (cx >= 0) & (cx <= wc - 2) & (ry >= 0) & (ry <= wr - 2)
+    return inb & ~fits
+
+
+def _first_k_indices(flat: jnp.ndarray, k: int):
+    """Flat indices of the first ``k`` True elements of a bool vector,
+    via TWO-LEVEL compaction: per-128-block popcounts, a cumsum over the
+    block counts (L/128 elements — ~100x shorter than a full-length
+    cumsum, which costs ~1.6 ms at the bench shape), searchsorted to
+    place each rank in its block, then an in-block 128-lane cumsum to
+    find the column. Returns (idx i32[k], valid bool[k], total i32[])."""
+    pad = (-flat.shape[0]) % 128
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
+    blocks = flat.reshape(-1, 128)
+    m = blocks.shape[0]
+    cnt = jnp.sum(blocks, axis=1, dtype=jnp.int32)        # [M]
+    cpos = jnp.cumsum(cnt)
+    total = cpos[-1]
+    j = jnp.arange(1, k + 1, dtype=jnp.int32)             # 1-based ranks
+    mb = jnp.minimum(jnp.searchsorted(cpos, j), m - 1)    # block of rank j
+    before = jnp.where(mb > 0, cpos[jnp.maximum(mb - 1, 0)], 0)
+    rank = j - before                                     # 1-based in-block
+    rows = blocks[mb].astype(jnp.int32)                   # [k, 128]
+    rcum = jnp.cumsum(rows, axis=1)
+    col = jnp.argmax(rcum == rank[:, None], axis=1)       # first hit = bit
+    idx = mb * 128 + col.astype(jnp.int32)
+    valid = j <= total
+    return idx, valid, total
+
+
 def bad_query_corrections(
     quad: jnp.ndarray,        # f32[H*W, 4] quad-packed prob grid
     shape: Tuple[int, int],
@@ -386,19 +479,15 @@ def bad_query_corrections(
     full fallback otherwise. Shared by the Pallas wrapper and the
     one-hot MXU matcher's granular fallback.
 
-    Compaction is cumsum + searchsorted (binary-search gathers), NOT
-    ``jnp.nonzero``: nonzero's size-k lowering scatters all B*N source
-    elements and costs ~42 ms at the bench shape on TPU (measured,
-    round 4) — it silently dominated every GN step that had even one
-    bad query. The gather-based form costs ~1.6 ms and returns the
-    same first-k indices."""
+    Compaction is two-level (``_first_k_indices``), NOT ``jnp.nonzero``:
+    nonzero's size-k lowering scatters all B*N source elements and costs
+    ~42 ms at the bench shape on TPU (measured, round 4) — it silently
+    dominated every GN step that had even one bad query. Round 4's
+    flat-cumsum compaction cost ~1.6 ms; the two-level form (per-128
+    popcounts + short cumsum + in-block rank search) replaces the
+    full-length cumsum with one ~100x shorter."""
     b_total, n = tx.shape
-    pos = jnp.cumsum(bad.reshape(-1).astype(jnp.int32))
-    n_bad = pos[-1]
-    flat_idx = jnp.minimum(
-        jnp.searchsorted(pos, jnp.arange(1, k_budget + 1, dtype=jnp.int32)),
-        b_total * n - 1)
-    valid = (jnp.arange(k_budget) < n_bad)
+    flat_idx, valid, _ = _first_k_indices(bad.reshape(-1), k_budget)
     b_i = flat_idx // n
     n_i = flat_idx % n
     txq = tx.reshape(-1)[flat_idx]
@@ -427,6 +516,88 @@ def bad_query_corrections(
     return h_corr, corr[:, 6:9]
 
 
+def _corrections_t(quad, shape, txt, tyt, sin_t, cos_t, points, mask,
+                   y0t, x0t, wr, wc, k_budget):
+    """``bad_query_corrections`` in the TRANSPOSED layout, with the bad
+    mask built lazily from the cached per-(beam, chunk) bases. The
+    first-k order is beam-major (vs hypothesis-major in the row-major
+    form) — when the budget holds, ALL bad queries are repaired either
+    way, so totals differ only in f32 summation order."""
+    n, b_total = txt.shape
+    bad = _bad_mask_t(txt, tyt, mask, shape, y0t, x0t, wr, wc)
+    flat_idx, valid, _ = _first_k_indices(bad.reshape(-1), k_budget)
+    b_i = flat_idx % b_total
+    n_i = flat_idx // b_total
+    txq = txt.reshape(-1)[flat_idx]
+    tyq = tyt.reshape(-1)[flat_idx]
+    m, gx, gy = interp_quad(quad, shape, jnp.stack([txq, tyq], axis=-1))
+    pxq = points[n_i, 0]
+    pyq = points[n_i, 1]
+    s_q = sin_t[b_i]
+    c_q = cos_t[b_i]
+    rot = (-s_q * pxq - c_q * pyq) * gx + (c_q * pxq - s_q * pyq) * gy
+    zero = jnp.float32(0.0)
+    m = jnp.where(valid, m, zero)
+    gx = jnp.where(valid, gx, zero)
+    gy = jnp.where(valid, gy, zero)
+    rot = jnp.where(valid, rot, zero)
+    fun = jnp.where(valid, np.float32(1.0) - m, zero)
+    terms = jnp.stack([gx * gx, gx * gy, gx * rot,
+                       gy * gy, gy * rot, rot * rot,
+                       gx * fun, gy * fun, rot * fun], axis=-1)  # [K, 9]
+    corr = jax.ops.segment_sum(terms, b_i, num_segments=b_total)
+    h_corr = jnp.stack([
+        jnp.stack([corr[:, 0], corr[:, 1], corr[:, 2]], -1),
+        jnp.stack([corr[:, 1], corr[:, 3], corr[:, 4]], -1),
+        jnp.stack([corr[:, 2], corr[:, 4], corr[:, 5]], -1),
+    ], -2)
+    return h_corr, corr[:, 6:9]
+
+
+def repair_moments_lazy(
+    quad: jnp.ndarray,        # f32[H*W, 4] quad-packed prob grid
+    shape: Tuple[int, int],
+    txt: jnp.ndarray,         # f32[N, B] transposed query coords
+    tyt: jnp.ndarray,
+    sin_t: jnp.ndarray,       # f32[B]
+    cos_t: jnp.ndarray,
+    points: jnp.ndarray,      # f32[N, 2]
+    mask: jnp.ndarray,        # bool[N]
+    y0t: jnp.ndarray,         # i32[N, GC] per-(beam, chunk) window bases
+    x0t: jnp.ndarray,
+    hess: jnp.ndarray,        # f32[B, 3, 3] kernel output
+    dtr: jnp.ndarray,         # f32[B, 3]
+    n_bad: jnp.ndarray,       # i32[] the KERNEL's own bad count (row 9)
+    k_budget: int, wr: int, wc: int,
+):
+    """Granular repair with a LAZY bad mask: the common no-bad-queries
+    step pays nothing beyond the cond on the kernel's own overflow count
+    — the [N, B] fit recheck, compaction, and quad-gather all live
+    inside the cond (round-5 prologue optimization; round 4 computed the
+    mask unconditionally every step). Returns (hess, dtr, overflowed).
+
+    ``overflowed`` is True when n_bad > k_budget: the repair is then
+    incomplete and the caller must take the full fallback path.
+    """
+    overflowed = n_bad > jnp.int32(k_budget)
+
+    def no_bad(_):
+        return hess, dtr
+
+    def with_repair(_):
+        h_corr, d_corr = _corrections_t(
+            quad, shape, txt, tyt, sin_t, cos_t, points, mask,
+            y0t, x0t, wr, wc, k_budget)
+        return hess + h_corr, dtr + d_corr
+
+    # gate on ~overflowed too: past the budget the repair is incomplete
+    # and the caller discards it for the full fallback — don't run both
+    # heavy paths on the worst-case step (round-3 ADVICE #4)
+    hess2, dtr2 = jax.lax.cond((n_bad > 0) & ~overflowed,
+                               with_repair, no_bad, None)
+    return hess2, dtr2, overflowed
+
+
 def repair_moments(
     quad: jnp.ndarray,        # f32[H*W, 4] quad-packed prob grid
     shape: Tuple[int, int],
@@ -437,34 +608,17 @@ def repair_moments(
     dtr: jnp.ndarray,         # f32[B, 3]
     k_budget: int,
     s_per: int, wr: int, wc: int,
-    precomputed=None,         # optional (tx, ty, sin_t, cos_t, bad)
 ):
-    """Granular repair: re-evaluate ONLY the window-overflow queries via
-    the exact quad-gather math and segment-sum the corrections into the
-    affected hypotheses. Returns (hess, dtr, n_bad, overflowed).
-
-    ``overflowed`` is True when n_bad > k_budget: the repair is then
-    incomplete and the caller must take the full fallback path.
-    """
-    if precomputed is None:
-        tx, ty, sin_t, cos_t = _transform_batch(poses_map, points)
-        _, _, bad = _window_bases(tx, ty, mask, shape, s_per, wr, wc)
-    else:
-        tx, ty, sin_t, cos_t, bad = precomputed
+    """Standalone granular repair (validation/tooling seam): rebuilds the
+    transposed prologue itself, counts bad queries, and delegates to
+    ``repair_moments_lazy``. Production (gn_step_pallas) shares ONE
+    prologue between kernel and repair instead. Returns
+    (hess, dtr, n_bad, overflowed)."""
+    txt, tyt, sin_t, cos_t = _transform_batch_t(poses_map, points)
+    _, _, y0t, x0t = _window_bases_t(txt, tyt, mask, shape, s_per, wr, wc)
+    bad = _bad_mask_t(txt, tyt, mask, shape, y0t, x0t, wr, wc)
     n_bad = jnp.sum(bad).astype(jnp.int32)
-    overflowed = n_bad > jnp.int32(k_budget)
-
-    def no_bad(_):
-        return hess, dtr
-
-    def with_repair(_):
-        h_corr, d_corr = bad_query_corrections(
-            quad, shape, tx, ty, sin_t, cos_t, points, bad, k_budget)
-        return hess + h_corr, dtr + d_corr
-
-    # gate on ~overflowed too: past the budget the repair is incomplete
-    # and the caller discards it for the full fallback — don't run both
-    # heavy paths on the worst-case step (round-3 ADVICE #4)
-    hess2, dtr2 = jax.lax.cond((n_bad > 0) & ~overflowed,
-                               with_repair, no_bad, None)
+    hess2, dtr2, overflowed = repair_moments_lazy(
+        quad, shape, txt, tyt, sin_t, cos_t, points, mask, y0t, x0t,
+        hess, dtr, n_bad, k_budget, wr, wc)
     return hess2, dtr2, n_bad, overflowed

@@ -94,8 +94,16 @@ def fleet_step(
     cfg: SlamConfig,
 ):
     """One SLAM step for R independent robots (vmap over the whole step:
-    per-robot maps, poses, gates)."""
-    return jax.vmap(lambda st, sc: slam_step(st, sc, cfg))(states, scans)
+    per-robot maps, poses, gates).
+
+    The map-update scatter is forced to the dense "xla" backend: under
+    vmap the seg backend's budget-overflow lax.cond lowers to a select
+    with a batched predicate, which executes BOTH the compacted and the
+    dense scatter — more work than the dense path alone (round-4
+    ADVICE #1). Results are bit-identical either way."""
+    return jax.vmap(lambda st, sc: slam_step(st, sc, cfg,
+                                             raster_backend="xla")
+                    )(states, scans)
 
 
 fleet_step_jit = jax.jit(fleet_step, static_argnames=("cfg",),

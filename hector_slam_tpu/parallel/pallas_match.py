@@ -91,37 +91,57 @@ def pallas_level_supported(shape: Tuple[int, int], wr: int = WR,
 
 def gn_step_pallas(grid, quad, shape, estimates_map, points, mask,
                    s_per: int, wr: int = WR, wc: int = WC, bpb: int = BPB,
-                   k_budget: int = 4096, interpret: bool = False):
+                   k_budget: int = 4096, interpret: bool = False,
+                   presorted: bool = False):
     """One batched GN step (ScanMatcher.h:194-226 semantics, vectorized)
     through the Pallas kernel, with granular repair and budget-overflow
-    fallback. Returns (new_estimates, hess, step_diag)."""
+    fallback. Returns (new_estimates, hess, step_diag).
+
+    ``presorted``: the caller guarantees hypotheses are already grouped
+    by theta (match_hypotheses_pallas sorts ONCE per level and runs all
+    iterations in sorted space — per-step argsort/unsort removed,
+    round-5 prologue optimization). Sorting is a window-tightness
+    heuristic only: per-hypothesis numerics are order-independent, and
+    queries that drift out of a stale grouping are exactly repaired or
+    trigger the full fallback, so results are exact either way."""
     b_total = estimates_map.shape[0]
     n = points.shape[0]
 
-    # sort by theta each iteration (estimates drift apart) so the
-    # per-chunk windows stay tight; results are unsorted before the solve
-    order = jnp.argsort(estimates_map[:, 2])
-    pm = estimates_map[order]
+    if presorted:
+        pm = estimates_map
+    else:
+        # group by theta so the per-chunk windows stay tight; results
+        # are unsorted before the solve
+        order = jnp.argsort(estimates_map[:, 2])
+        pm = estimates_map[order]
 
-    # ONE prologue pass (transform + window bases) shared by the kernel
-    # launch and the repair — each used to recompute its own copy
-    from ..ops.pallas_interp import _transform_batch, _window_bases
-    tx, ty, sin_t, cos_t = _transform_batch(pm, points)
-    y0f, x0f, bad = _window_bases(tx, ty, mask, shape, s_per, wr, wc)
+    # ONE transposed prologue pass (transform + window bases) shared by
+    # the kernel launch and the repair; the per-query bad mask is NOT
+    # built here — the kernel counts overflow itself (moment row 9) and
+    # the mask only materializes inside the repair cond
+    from ..ops.pallas_interp import (_transform_batch_t, _window_bases_t,
+                                     repair_moments_lazy)
+    txt, tyt, sin_t, cos_t = _transform_batch_t(pm, points)
+    y0f, x0f, y0t, x0t = _window_bases_t(txt, tyt, mask, shape,
+                                         s_per, wr, wc)
 
     mom = interp_moments_pallas(grid, shape, pm, points, mask,
                                 s_per=s_per, wr=wr, wc=wc, bpb=bpb,
                                 interpret=interpret,
-                                precomputed=(tx, ty, sin_t, cos_t,
+                                precomputed=(txt, tyt, sin_t, cos_t,
                                              y0f, x0f))
-    hess_s, dtr_s, n_bad, overflowed = repair_moments(
-        quad, shape, pm, points, mask, mom.hess, mom.dtr,
-        k_budget, s_per, wr, wc,
-        precomputed=(tx, ty, sin_t, cos_t, bad))
+    n_bad = mom.bad_count
+    hess_s, dtr_s, overflowed = repair_moments_lazy(
+        quad, shape, txt, tyt, sin_t, cos_t, points, mask, y0t, x0t,
+        mom.hess, mom.dtr, n_bad, k_budget, wr, wc)
 
-    inv = jnp.argsort(order)
-    hess = hess_s[inv]
-    dtr = dtr_s[inv]
+    if presorted:
+        hess = hess_s
+        dtr = dtr_s
+    else:
+        inv = jnp.argsort(order)
+        hess = hess_s[inv]
+        dtr = dtr_s[inv]
 
     def full_fallback(_):
         f = jax.vmap(lambda p: hessian_derivs_quad(quad, shape, p, points,
@@ -234,22 +254,34 @@ def match_hypotheses_pallas(
         use_kernel = pallas_level_supported(shape, wr, wc)
 
         est = jax.vmap(lambda p: world_to_map_pose(p, offset, scale))(poses)
-        for _ in range(iters + 1):
-            if use_kernel:
+        if use_kernel:
+            # sort ONCE per level and run every GN iteration in sorted
+            # space (the grouping is a window-tightness heuristic; drift
+            # across iterations is caught by the exact repair/fallback
+            # ladder) — removes the per-step argsort + unsort gathers
+            order = jnp.argsort(est[:, 2])
+            est = est[order]
+            for _ in range(iters + 1):
                 est, hess, d = gn_step_pallas(
                     grid, quad, shape, est, pts, scan.mask,
                     s_per=s_per, wr=wr, wc=wc, bpb=bpb,
-                    k_budget=k_budget, interpret=interpret)
+                    k_budget=k_budget, interpret=interpret,
+                    presorted=True)
                 diag = MatchDiag(*(a + b for a, b in zip(diag, d)))
-            else:
+            inv = jnp.argsort(order)
+            est = est[inv]
+            hess = hess[inv]
+        else:
+            for _ in range(iters + 1):
                 est, hess = _gn_step_quad(quad, shape, est, pts, scan.mask)
-                # statically-unsupported levels run the slow path for
-                # every query — count them so fast_path_fraction stays
-                # honest (e.g. a 2048^2 level 0 dominating the cost must
-                # not read as fraction ~1.0)
-                q = jnp.float32(np.float32(b_total * pts.shape[0]))
-                diag = diag._replace(total_queries=diag.total_queries + q,
-                                     slow_queries=diag.slow_queries + q)
+            # statically-unsupported levels run the slow path for
+            # every query — count them so fast_path_fraction stays
+            # honest (e.g. a 2048^2 level 0 dominating the cost must
+            # not read as fraction ~1.0)
+            q = jnp.float32(np.float32(b_total * pts.shape[0]))
+            q = q * np.float32(iters + 1)
+            diag = diag._replace(total_queries=diag.total_queries + q,
+                                 slow_queries=diag.slow_queries + q)
         est = est.at[:, 2].set(jax.vmap(normalize_angle)(est[:, 2]))
         world = jax.vmap(lambda e: map_to_world_pose(
             e, offset, mcfg.level_resolution(level)))(est)

@@ -198,7 +198,7 @@ def main():
     diffs = np.abs(np.asarray(res_p.pose) - np.asarray(res_q.pose)).max(-1)
     # GN trajectories of NON-converged hypotheses are chaotic: a 1-ulp
     # FMA/cell difference between two separately compiled programs can
-    # grow visibly over 17 steps for iterates bouncing on the sharp ring.
+    # grow visibly over 14 steps for iterates bouncing on the sharp ring.
     # The meaningful contract for multi-hypothesis use is (a) the bulk of
     # hypotheses land on the same poses and (b) the best residual found
     # is equally good — that is what relocalize() consumes.
