@@ -84,7 +84,13 @@ def main() -> None:
             def body(carry, seed):
                 result = match_fn(
                     pyramid, base + seed + 0.0 * carry.sum(), sc, cfg)
-                return jnp.mean(result.pose, axis=0), ()
+                # nan_to_num: a degenerate hypothesis (nonzero-but-
+                # singular H, exactly as the reference's guard allows,
+                # ScanMatcher.h:201-205) yields a NaN pose; a NaN carry
+                # would poison every later iteration's input through
+                # `seed + 0*carry` and silently turn the chain into a
+                # no-work NaN pipeline (measured: rates inflate 20x+)
+                return jnp.nan_to_num(jnp.mean(result.pose, axis=0)), ()
 
             carry, _ = jax.lax.scan(body, jnp.zeros(3, jnp.float32), seeds)
             return jnp.sum(carry)

