@@ -34,6 +34,9 @@ from .parallel.onehot_match import (match_hypotheses_mxu,
                                     match_hypotheses_mxu_jit)
 from .parallel.pallas_match import (match_hypotheses_pallas,
                                     match_hypotheses_pallas_jit)
+from .parallel.recovery import auto_prune_top_k, prune_hypotheses_coarse
+from .parallel.shared_map import (init_shared_fleet, shared_fleet_step,
+                                  shared_fleet_step_jit)
 from .query.raycast import get_normal
 from .export.markers import arrow_marker, covariance_ellipse, pose_markers
 from .session import SlamSession
@@ -63,6 +66,8 @@ __all__ = [
     "match_hypotheses", "match_hypotheses_jit",
     "match_hypotheses_mxu", "match_hypotheses_mxu_jit",
     "match_hypotheses_pallas", "match_hypotheses_pallas_jit",
+    "auto_prune_top_k", "prune_hypotheses_coarse",
+    "init_shared_fleet", "shared_fleet_step", "shared_fleet_step_jit",
     "get_normal", "arrow_marker", "covariance_ellipse", "pose_markers",
     "SlamSession",
 ]

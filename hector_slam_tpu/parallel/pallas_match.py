@@ -199,6 +199,8 @@ def match_hypotheses_pallas(
     k_budget: int = 4096,
     interpret: bool = False,
     quads: Sequence[jnp.ndarray] | None = None,
+    max_level: int | None = None,
+    min_level: int = 0,
 ) -> Tuple[MatchResult, MatchDiag]:
     """Drop-in batched pyramid matcher (same contract as
     parallel.batch.match_hypotheses / onehot_match.match_hypotheses_mxu)
@@ -209,11 +211,20 @@ def match_hypotheses_pallas(
     are *views* of them (column 0), so nothing is recomputed per call
     (round-2 VERDICT weak #4).
 
+    ``max_level``/``min_level`` restrict the coarse-to-fine schedule to
+    a pyramid SUBSET (defaults: the full pyramid). Level subsets power
+    the cascaded recovery (parallel/recovery.py): refine everything on
+    the coarsest level only, re-select, then run the fine levels on the
+    clustered survivors. Per-level numerics are identical to a full run
+    reaching that level with the same input poses.
+
     Returns (MatchResult with leading axis B, MatchDiag telemetry).
     """
     mcfg = cfg.map
     model = cfg.update.cell_model
     b_in = begin_poses.shape[0]
+    if max_level is None:
+        max_level = mcfg.levels - 1
 
     # hypothesis count must tile into theta-subbuckets of s_per (each a
     # whole number of 128-lane chunks); pad with copies of the first pose
@@ -237,7 +248,7 @@ def match_hypotheses_pallas(
     hess = jnp.zeros((b_total, 3, 3), jnp.float32)
     diag = _zero_diag()
     any_valid = jnp.any(scan.mask)
-    for level in range(mcfg.levels - 1, -1, -1):
+    for level in range(max_level, min_level - 1, -1):
         factor = jnp.float32(1.0 / (2.0 ** level))
         pts = scan.points * factor if level > 0 else scan.points
         iters = (cfg.match.iterations_finest if level == 0
@@ -293,4 +304,4 @@ def match_hypotheses_pallas(
 match_hypotheses_pallas_jit = jax.jit(
     match_hypotheses_pallas,
     static_argnames=("cfg", "s_per", "wr", "wc", "bpb", "k_budget",
-                     "interpret"))
+                     "interpret", "max_level", "min_level"))

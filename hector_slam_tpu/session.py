@@ -283,7 +283,7 @@ class SlamSession:
                    method: Optional[str] = None,
                    pallas_interpret: bool = False,
                    theta_stratified: Optional[bool] = None,
-                   k_budget: int = 32768,
+                   k_budget: int = 8192,
                    prune_top_k: Optional[int] = None) -> dict:
         """Batched recovery — the user-facing payoff of matching
         thousands of hypotheses per step on the MXU/VPU (round-2 VERDICT
@@ -400,7 +400,8 @@ class SlamSession:
                                         prune_hypotheses_coarse)
         if prune_top_k is None:
             prune_top_k = auto_prune_top_k(n_hypotheses)
-        if prune_top_k and prune_top_k < n_hypotheses:
+        pruned = bool(prune_top_k) and prune_top_k < n_hypotheses
+        if pruned:
             hyp_j = prune_hypotheses_coarse(
                 self.state.log_odds, hyp_j, scan, self.cfg, prune_top_k,
                 quads=self.state.quads)
@@ -409,11 +410,23 @@ class SlamSession:
         from .parallel.batch import residual_for_poses
         frac, overflow_steps = None, 0
         if method == "pallas":
-            from .parallel.pallas_match import match_hypotheses_pallas_jit
-            result, diag = match_hypotheses_pallas_jit(
-                self.state.log_odds, hyp_j, scan, self.cfg,
-                k_budget=k_budget, interpret=pallas_interpret,
-                quads=self.state.quads)
+            if pruned and self.cfg.map.levels >= 2:
+                # wide-spread path: coarse-only refine -> one-chunk
+                # re-selection -> fine refine (parallel/recovery.py
+                # cascade; measured: without it every fine-level step
+                # budget-overflows to the quad fallback)
+                from .parallel.recovery import cascade_refine_jit
+                result, diag = cascade_refine_jit(
+                    self.state.log_odds, hyp_j, scan, self.cfg,
+                    k_budget=k_budget, quads=self.state.quads,
+                    interpret=pallas_interpret)
+            else:
+                from .parallel.pallas_match import \
+                    match_hypotheses_pallas_jit
+                result, diag = match_hypotheses_pallas_jit(
+                    self.state.log_odds, hyp_j, scan, self.cfg,
+                    k_budget=k_budget, interpret=pallas_interpret,
+                    quads=self.state.quads)
             frac = float(diag.fast_path_fraction())
             overflow_steps = int(diag.overflow_steps)
         elif method == "mxu":
@@ -456,7 +469,7 @@ class SlamSession:
                           n_positions: int = 2048, n_theta: int = 32,
                           top_k: int = 1024, seed: int = 0,
                           method: Optional[str] = None,
-                          k_budget: int = 32768,
+                          k_budget: int = 8192,
                           pallas_interpret: bool = False,
                           beam_stride: int = 8) -> dict:
         """GLOBAL (position-unknown) relocalization over the whole mapped
@@ -558,11 +571,23 @@ class SlamSession:
         from .parallel.batch import residual_for_poses
         frac, overflow_steps = None, 0
         if method == "pallas":
-            from .parallel.pallas_match import match_hypotheses_pallas_jit
-            result, diag = match_hypotheses_pallas_jit(
-                self.state.log_odds, hyp_j, scan, self.cfg,
-                k_budget=k_budget, interpret=pallas_interpret,
-                quads=self.state.quads)
+            if self.cfg.map.levels >= 2:
+                # sweep survivors are scattered map-wide: the cascade
+                # (coarse-only refine -> one-chunk re-selection -> fine
+                # refine) keeps the kernel engaged exactly as in
+                # relocalize()'s wide-spread path
+                from .parallel.recovery import cascade_refine_jit
+                result, diag = cascade_refine_jit(
+                    self.state.log_odds, hyp_j, scan, self.cfg,
+                    k_budget=k_budget, quads=self.state.quads,
+                    interpret=pallas_interpret)
+            else:
+                from .parallel.pallas_match import \
+                    match_hypotheses_pallas_jit
+                result, diag = match_hypotheses_pallas_jit(
+                    self.state.log_odds, hyp_j, scan, self.cfg,
+                    k_budget=k_budget, interpret=pallas_interpret,
+                    quads=self.state.quads)
             frac = float(diag.fast_path_fraction())
             overflow_steps = int(diag.overflow_steps)
         elif method == "mxu":

@@ -433,6 +433,23 @@ def test_relocalize_coarse_pruning_recovers():
     assert auto_prune_top_k(4096) == 1024
 
 
+def test_relocalize_cascade_pallas_interpret():
+    """The wide-spread pallas path is prune -> CASCADE (coarse-only
+    refine, one-chunk re-selection, fine refine — parallel/recovery.py):
+    n=1024 auto-prunes to 256 survivors (> the 128 mid-selection, so
+    both cascade stages execute), through the exact production branch in
+    Mosaic interpret mode. Recovery must match the quad path's bar."""
+    sess, good = _kidnap_session()
+    out = sess.relocalize(n_hypotheses=1024, sigma_xy=0.6,
+                          sigma_theta=0.3, seed=3, method="pallas",
+                          pallas_interpret=True)
+    assert out["accepted"], out
+    err = np.linalg.norm(out["pose"][:2] - good[:2])
+    assert err < 0.1, (err, out)
+    assert abs(float(out["pose"][2] - good[2])) < 0.05
+    assert 0.0 <= out["fast_path_fraction"] <= 1.0
+
+
 def test_slam_cloud(log):
     """slam_cloud product (HectorMappingRos.cpp:193,276-278): base frame
     = the container's points in meters; map frame = those transformed by

@@ -40,7 +40,8 @@ def main() -> None:
     from hector_slam_tpu.io.simulator import (World, corridor_trajectory,
                                               simulate_trajectory)
     from hector_slam_tpu.parallel.pallas_match import match_hypotheses_pallas
-    from hector_slam_tpu.parallel.recovery import prune_hypotheses_coarse
+    from hector_slam_tpu.parallel.recovery import (cascade_refine,
+                                                   prune_hypotheses_coarse)
 
     cfg = BENCH_CONFIG
     laser = LaserModel()
@@ -58,7 +59,7 @@ def main() -> None:
 
     B = 1024
     SIGMA_XY, SIGMA_TH = 0.5, 0.3
-    K_BUDGET = 32768
+    K_BUDGET = 8192
     TOP_K = 256
     rng = np.random.default_rng(0)
     base = np.asarray(poses_true[-1], np.float32)
@@ -74,9 +75,11 @@ def main() -> None:
         return h
 
     def body_pruned(pyramid, hyp):
+        # the relocalize(method="pallas") wide-spread path: group
+        # pruning + cascaded coarse->select->fine refinement
         surv = prune_hypotheses_coarse(pyramid, hyp, scan, cfg, TOP_K,
                                        quads=state.quads)
-        result, diag = match_hypotheses_pallas(
+        result, diag = cascade_refine(
             pyramid, surv, scan, cfg, k_budget=K_BUDGET,
             quads=state.quads)
         return result, diag
