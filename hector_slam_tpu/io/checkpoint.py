@@ -31,9 +31,16 @@ def save_state(path: str, state: SlamState) -> None:
     np.savez_compressed(path, **arrays)
 
 
-def load_state(path: str, cfg: SlamConfig) -> SlamState:
+def load_state(path: str, cfg: SlamConfig,
+               template: Optional[SlamState] = None) -> SlamState:
+    """``template``: the expected state structure — defaults to a fresh
+    single-robot ``init_state(cfg)``; pass ``init_fleet(cfg, R)`` or
+    ``init_shared_fleet(cfg, R)`` to restore batched fleet states (their
+    pose/covariance leaves carry a leading robot axis)."""
     from ..core.slam import _quads_of, init_state
-    template = init_state(cfg)._replace(quads=())
+    if template is None:
+        template = init_state(cfg)
+    template = template._replace(quads=())
     template_leaves, treedef = jax.tree.flatten(template)
     with np.load(path) as z:
         n = int(z["num_levels"])

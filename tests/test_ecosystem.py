@@ -260,6 +260,22 @@ def test_checkpoint_roundtrip(tmp_path, mapped_state):
         load_state(p, bad)
 
 
+def test_checkpoint_shared_fleet_roundtrip(tmp_path):
+    """Fleet states (leading robot axis on pose/covariance) checkpoint
+    through the same npz path with an explicit template (round 5)."""
+    from hector_slam_tpu.parallel.shared_map import init_shared_fleet
+    starts = np.asarray([[0.0, 0.0, 0.0], [1.0, -0.5, 0.7]], np.float32)
+    state = init_shared_fleet(CFG, 2, start_poses=starts)
+    p = str(tmp_path / "fleet.npz")
+    save_state(p, state)
+    restored = load_state(p, CFG, template=init_shared_fleet(CFG, 2))
+    np.testing.assert_array_equal(np.asarray(restored.pose), starts)
+    assert restored.covariance.shape == (2, 3, 3)
+    # single-robot template must reject the batched checkpoint
+    with pytest.raises(ValueError):
+        load_state(p, CFG)
+
+
 def test_attitude_fusion():
     q = rpy_to_quaternion(0.1, -0.2, 1.5)
     r, p, y = quaternion_to_rpy(q)

@@ -332,3 +332,42 @@ def test_shared_map_fleet_room():
     err1 = np.linalg.norm(np.asarray(s1.pose)[0, :2]
                           - true_poses[-1][0, :2])
     assert err1 < 0.12, err1
+
+
+def test_shared_map_fleet_per_robot_gating():
+    """Per-robot pose gates fire independently in the shared-map fleet:
+    after the first (always-mapping) step, a STATIONARY robot must not
+    re-trigger map updates while a moving robot does; the shared
+    update-count advances only when some gate fires."""
+    from hector_slam_tpu.parallel.shared_map import (init_shared_fleet,
+                                                     shared_fleet_step_jit)
+    world = World.room(size=10.0)
+    starts = np.asarray([[-2.0, -2.0, 0.6], [2.0, 2.0, -2.4]], np.float32)
+    scale = CFG.map.level_scale(0)
+    state = init_shared_fleet(CFG, 2, start_poses=starts)
+
+    def step(poses, t):
+        ranges = simulate_trajectory(world, poses, LASER,
+                                     range_noise_std=0.002, seed=t)
+        scans = stack_scans([
+            scan_from_ranges(r, scale, LASER, CFG.max_beams)
+            for r in ranges])
+        return shared_fleet_step_jit(state, scans, CFG)
+
+    state, m0 = step(starts, 0)
+    assert bool(np.asarray(m0.map_updated).all()), "first scan maps (FLT_MAX)"
+    count1 = int(state.map_update_count)
+
+    # robot 0 moves past the 0.4 m gate; robot 1 stays put
+    moved = starts.copy()
+    moved[0, 0] += 0.45 * np.cos(starts[0, 2])
+    moved[0, 1] += 0.45 * np.sin(starts[0, 2])
+    state, m1 = step(moved, 1)
+    upd = np.asarray(m1.map_updated)
+    assert bool(upd[0]) and not bool(upd[1]), upd
+    assert int(state.map_update_count) == count1 + 1
+
+    # nobody moves: no gate fires, count frozen
+    state, m2 = step(moved, 2)
+    assert not np.asarray(m2.map_updated).any()
+    assert int(state.map_update_count) == count1 + 1
