@@ -67,10 +67,18 @@ def shared_fleet_step(
     scans: Scan,                # leading robot axis: points [R,N,2], ...
     cfg: SlamConfig,
     map_without_matching: bool = False,
+    robot_axis=None,
 ) -> Tuple[SlamState, StepMetrics]:
     """One fleet step: every robot scan-matches against the SHARED map,
     per-robot pose gates fire independently, and all gated scans
-    integrate into the shared pyramid as one combined update."""
+    integrate into the shared pyramid as one combined update.
+
+    ``robot_axis``: mesh axis name (or tuple of names) when the robot
+    dimension is sharded across devices (inside shard_map, see
+    sharded.make_shared_fleet_step): the boolean cell sets and the
+    any-gate bit are then psum-OR-combined over ICI — the OR is
+    commutative, so the sharded result is BIT-EQUAL to the
+    single-device one (tests assert it)."""
     if map_without_matching:
         new_poses = state.pose
         hessians = state.covariance
@@ -91,6 +99,9 @@ def shared_fleet_step(
     if map_without_matching:
         gates = jnp.ones_like(gates)
     any_gate = jnp.any(gates)
+    if robot_axis is not None:
+        any_gate = jax.lax.psum(
+            any_gate.astype(jnp.int32), robot_axis) > 0
 
     mcfg = cfg.map
     new_levels = []
@@ -109,6 +120,14 @@ def shared_fleet_step(
         g = gates[:, None, None]
         free_set = jnp.any(free_r & g, axis=0)
         occ_set = jnp.any(occ_r & g, axis=0)
+        if robot_axis is not None:
+            # global OR across device-local robot shards (exact: the
+            # masks commute, same algebra as the beam-axis psum-OR in
+            # core/mapping.update_level)
+            free_set = jax.lax.psum(
+                free_set.astype(jnp.int32), robot_axis) > 0
+            occ_set = jax.lax.psum(
+                occ_set.astype(jnp.int32), robot_axis) > 0
         free_only = free_set & ~occ_set
         updated = apply_update(lo, free_only, occ_set,
                                cfg.update.cell_model,
@@ -117,6 +136,8 @@ def shared_fleet_step(
         new_levels.append(jnp.where(any_gate, updated, lo))
         truncated_total = truncated_total + jnp.sum(
             jnp.where(gates, trunc_r, 0))
+    if robot_axis is not None:
+        truncated_total = jax.lax.psum(truncated_total, robot_axis)
     new_log_odds = tuple(new_levels)
 
     new_quads = jax.lax.cond(
@@ -150,5 +171,6 @@ def shared_fleet_step(
 
 shared_fleet_step_jit = jax.jit(shared_fleet_step,
                                 static_argnames=("cfg",
-                                                 "map_without_matching"),
+                                                 "map_without_matching",
+                                                 "robot_axis"),
                                 donate_argnums=(0,))

@@ -371,3 +371,55 @@ def test_shared_map_fleet_per_robot_gating():
     state, m2 = step(moved, 2)
     assert not np.asarray(m2.map_updated).any()
     assert int(state.map_update_count) == count1 + 1
+
+
+def test_shared_map_fleet_sharded_matches_single_device():
+    """Multi-chip shared-map fleet: 8 robots sharded over the 8-device
+    virtual mesh, ONE replicated pyramid, cell sets psum-OR'd over the
+    mesh — the discrete algebra (gates, cell sets, update counts) must
+    be EXACT vs the single-device shared_fleet_step (the OR is
+    commutative); matched poses agree to f32 ulps (two separately
+    compiled programs fuse FMAs differently)."""
+    from hector_slam_tpu.parallel.shared_map import (init_shared_fleet,
+                                                     shared_fleet_step_jit)
+    from hector_slam_tpu.parallel.sharded import (make_mesh,
+                                                  make_shared_fleet_step,
+                                                  shard_shared_fleet_scan,
+                                                  shard_shared_fleet_state)
+    R = 8
+    world = World.room(size=10.0)
+    ang = np.linspace(0, 2 * np.pi, R, endpoint=False)
+    starts = np.stack([2.0 * np.cos(ang), 2.0 * np.sin(ang),
+                       ang + np.pi / 2], -1).astype(np.float32)
+    scale = CFG.map.level_scale(0)
+    mesh = make_mesh()
+    step_sh = make_shared_fleet_step(mesh, CFG)
+
+    state_1 = init_shared_fleet(CFG, R, start_poses=starts)
+    state_m = shard_shared_fleet_state(
+        init_shared_fleet(CFG, R, start_poses=starts), mesh, CFG)
+
+    for t in range(3):
+        head = np.stack([np.cos(starts[:, 2]), np.sin(starts[:, 2]),
+                         np.zeros(R, np.float32)], -1)
+        p = (starts + t * 0.05 * head).astype(np.float32)
+        ranges = simulate_trajectory(world, p, LASER,
+                                     range_noise_std=0.002, seed=t)
+        scans = stack_scans([
+            scan_from_ranges(r, scale, LASER, CFG.max_beams)
+            for r in ranges])
+        state_1, m1 = shared_fleet_step_jit(state_1, scans, CFG)
+        state_m, mm = step_sh(state_m, shard_shared_fleet_scan(scans, mesh))
+
+    np.testing.assert_allclose(np.asarray(state_1.pose),
+                               np.asarray(state_m.pose), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m1.map_updated),
+                                  np.asarray(mm.map_updated))
+    for lvl in range(CFG.map.levels):
+        a = np.asarray(state_1.log_odds[lvl])
+        b = np.asarray(state_m.log_odds[lvl])
+        diff = (a != b).sum()
+        # ulp-level pose differences can flip at most a boundary cell
+        # or two per scan; the cell sets are otherwise identical
+        assert diff <= 8, (lvl, diff)
+    assert int(state_1.map_update_count) == int(state_m.map_update_count)
