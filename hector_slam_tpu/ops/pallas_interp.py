@@ -275,7 +275,10 @@ def interp_moments_pallas(
     poses_map: jnp.ndarray,   # f32[B, 3] theta-SORTED map-frame poses
     points: jnp.ndarray,      # f32[N, 2] beam endpoints (map scale)
     mask: jnp.ndarray,        # bool[N]
-    s_per: int = 512,         # hypotheses per subbucket (multiple of 128)
+    s_per: int = 1024,        # hypotheses per subbucket (multiple of 128)
+    #   (s_per=1024 measured 16% faster per GN step than 512 at the
+    #   bench shape — fewer kernel grid launches; chunk windows and
+    #   numerics are unchanged, chunks stay 128 lanes regardless)
     wr: int = WR,
     wc: int = WC,
     bpb: int = BPB,

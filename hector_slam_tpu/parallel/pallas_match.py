@@ -192,7 +192,7 @@ def match_hypotheses_pallas(
     begin_poses: jnp.ndarray,   # f32[B, 3] world poses
     scan: Scan,
     cfg: SlamConfig,
-    s_per: int = 512,
+    s_per: int = 1024,
     wr: int = WR,
     wc: int = WC,
     bpb: int = BPB,
