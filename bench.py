@@ -118,8 +118,12 @@ def main() -> None:
         # a genuine kernel bug must produce an error, not a silently
         # valid-looking MXU record)
         msg = f"{type(e).__name__}: {e}"
+        # context-qualified patterns only: a bare "500" would match shape
+        # or element counts in genuine kernel errors and silently mask
+        # them behind the MXU fallback
         return any(s in msg for s in (
-            "response body closed", "Socket closed", "500",
+            "response body closed", "Socket closed", "HTTP 500",
+            "status: 500", "Internal Server Error",
             "UNAVAILABLE", "DEADLINE_EXCEEDED", "RESOURCE_EXHAUSTED",
             "Connection reset", "transient"))
 

@@ -495,6 +495,17 @@ def bad_query_corrections(
     n_i = flat_idx % n
     txq = tx.reshape(-1)[flat_idx]
     tyq = ty.reshape(-1)[flat_idx]
+    return _moment_corrections(quad, shape, txq, tyq, sin_t, cos_t,
+                               points, b_i, n_i, valid, b_total)
+
+
+def _moment_corrections(quad, shape, txq, tyq, sin_t, cos_t, points,
+                        b_i, n_i, valid, b_total):
+    """Shared tail of the granular repair: exact quad-gather moment
+    contributions of K compacted queries, segment-summed into their
+    hypotheses' 3x3 H and dTr. Flat-index DECODE differs between the
+    row-major (bad_query_corrections) and transposed (_corrections_t)
+    callers; the math here is the single copy both use."""
     m, gx, gy = interp_quad(quad, shape, jnp.stack([txq, tyq], axis=-1))
     pxq = points[n_i, 0]
     pyq = points[n_i, 1]
@@ -533,28 +544,8 @@ def _corrections_t(quad, shape, txt, tyt, sin_t, cos_t, points, mask,
     n_i = flat_idx // b_total
     txq = txt.reshape(-1)[flat_idx]
     tyq = tyt.reshape(-1)[flat_idx]
-    m, gx, gy = interp_quad(quad, shape, jnp.stack([txq, tyq], axis=-1))
-    pxq = points[n_i, 0]
-    pyq = points[n_i, 1]
-    s_q = sin_t[b_i]
-    c_q = cos_t[b_i]
-    rot = (-s_q * pxq - c_q * pyq) * gx + (c_q * pxq - s_q * pyq) * gy
-    zero = jnp.float32(0.0)
-    m = jnp.where(valid, m, zero)
-    gx = jnp.where(valid, gx, zero)
-    gy = jnp.where(valid, gy, zero)
-    rot = jnp.where(valid, rot, zero)
-    fun = jnp.where(valid, np.float32(1.0) - m, zero)
-    terms = jnp.stack([gx * gx, gx * gy, gx * rot,
-                       gy * gy, gy * rot, rot * rot,
-                       gx * fun, gy * fun, rot * fun], axis=-1)  # [K, 9]
-    corr = jax.ops.segment_sum(terms, b_i, num_segments=b_total)
-    h_corr = jnp.stack([
-        jnp.stack([corr[:, 0], corr[:, 1], corr[:, 2]], -1),
-        jnp.stack([corr[:, 1], corr[:, 3], corr[:, 4]], -1),
-        jnp.stack([corr[:, 2], corr[:, 4], corr[:, 5]], -1),
-    ], -2)
-    return h_corr, corr[:, 6:9]
+    return _moment_corrections(quad, shape, txq, tyq, sin_t, cos_t,
+                               points, b_i, n_i, valid, b_total)
 
 
 def repair_moments_lazy(

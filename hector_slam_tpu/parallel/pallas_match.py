@@ -40,8 +40,7 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..types import MatchResult, Scan
 from ..ops.solve3 import solve3
-from ..ops.pallas_interp import (WR, WC, BPB, interp_moments_pallas,
-                                 repair_moments)
+from ..ops.pallas_interp import WR, WC, BPB, interp_moments_pallas
 from ..core.cell_models import prob_grid
 from ..core.grid import (map_to_world_pose, normalize_angle,
                          world_to_map_pose)

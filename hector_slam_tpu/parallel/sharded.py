@@ -126,47 +126,58 @@ def shard_scan(scan: Scan, mesh: Mesh) -> Scan:
         scan, _scan_specs())
 
 
+_SHARED_AXIS = ("robot", "beam")    # shared-map fleet: robots over the
+#   WHOLE mesh, one replicated pyramid
+
+
+def _shared_fleet_state_specs(cfg: SlamConfig) -> SlamState:
+    repl2 = P(None, None)
+    return SlamState(
+        log_odds=tuple(repl2 for _ in range(cfg.map.levels)),
+        pose=P(_SHARED_AXIS, None),
+        last_map_update_pose=P(_SHARED_AXIS, None),
+        covariance=P(_SHARED_AXIS, None, None),
+        step=P(),
+        map_update_count=P(),
+        quads=tuple(repl2 for _ in range(cfg.map.levels)),
+    )
+
+
+def _shared_fleet_scan_specs() -> Scan:
+    return Scan(points=P(_SHARED_AXIS, None, None),
+                origo=P(_SHARED_AXIS, None),
+                mask=P(_SHARED_AXIS, None))
+
+
 def make_shared_fleet_step(mesh: Mesh, cfg: SlamConfig):
     """Multi-chip SHARED-MAP fleet (parallel/shared_map.py over the
     mesh): the robot axis is sharded over ALL mesh devices, the one
     shared pyramid is replicated, and the per-step combined update
     psum-ORs the boolean cell sets over ICI — communication is
     1 bit/cell/level/step (as int32 psum), independent of fleet size.
-    Results are BIT-EQUAL to the single-device shared_fleet_step (the
-    OR is commutative; tests assert equality on the virtual mesh).
+    The discrete update algebra is EXACT vs the single-device
+    shared_fleet_step (the OR is commutative; tests pin it on the
+    virtual mesh).
 
     Takes (state from init_shared_fleet with R % n_devices == 0, scans
     with leading robot axis); returns the same structures."""
     from .shared_map import shared_fleet_step
-    axis = ("robot", "beam")        # robots over the WHOLE mesh
-    repl2 = P(None, None)
-    state_specs = SlamState(
-        log_odds=tuple(repl2 for _ in range(cfg.map.levels)),
-        pose=P(axis, None),
-        last_map_update_pose=P(axis, None),
-        covariance=P(axis, None, None),
-        step=P(),
-        map_update_count=P(),
-        quads=tuple(repl2 for _ in range(cfg.map.levels)),
-    )
-    scan_specs = Scan(points=P(axis, None, None),
-                      origo=P(axis, None),
-                      mask=P(axis, None))
     from ..types import StepMetrics
-    metrics_specs = StepMetrics(pose_delta=P(axis, None),
-                                map_updated=P(axis),
-                                hessian_det=P(axis),
-                                num_valid_beams=P(axis),
+    metrics_specs = StepMetrics(pose_delta=P(_SHARED_AXIS, None),
+                                map_updated=P(_SHARED_AXIS),
+                                hessian_det=P(_SHARED_AXIS),
+                                num_valid_beams=P(_SHARED_AXIS),
                                 truncated_free_cells=P())
 
     def local_step(state_blk: SlamState, scans_blk: Scan):
         return shared_fleet_step(state_blk, scans_blk, cfg,
-                                 robot_axis=axis)
+                                 robot_axis=_SHARED_AXIS)
 
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(state_specs, scan_specs),
-        out_specs=(state_specs, metrics_specs),
+        in_specs=(_shared_fleet_state_specs(cfg),
+                  _shared_fleet_scan_specs()),
+        out_specs=(_shared_fleet_state_specs(cfg), metrics_specs),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
@@ -176,29 +187,15 @@ def shard_shared_fleet_state(state: SlamState, mesh: Mesh,
                              cfg: SlamConfig) -> SlamState:
     """Places an init_shared_fleet state onto the mesh (robots sharded,
     pyramid replicated)."""
-    axis = ("robot", "beam")
-    repl2 = P(None, None)
-    specs = SlamState(
-        log_odds=tuple(repl2 for _ in range(cfg.map.levels)),
-        pose=P(axis, None),
-        last_map_update_pose=P(axis, None),
-        covariance=P(axis, None, None),
-        step=P(),
-        map_update_count=P(),
-        quads=tuple(repl2 for _ in range(cfg.map.levels)),
-    )
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        state, specs)
+        state, _shared_fleet_state_specs(cfg))
 
 
 def shard_shared_fleet_scan(scan: Scan, mesh: Mesh) -> Scan:
-    axis = ("robot", "beam")
-    specs = Scan(points=P(axis, None, None), origo=P(axis, None),
-                 mask=P(axis, None))
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        scan, specs)
+        scan, _shared_fleet_scan_specs())
 
 
 def shard_hypotheses(mesh: Mesh, cfg: SlamConfig):

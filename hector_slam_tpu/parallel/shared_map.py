@@ -104,41 +104,59 @@ def shared_fleet_step(
             any_gate.astype(jnp.int32), robot_axis) > 0
 
     mcfg = cfg.map
-    new_levels = []
-    truncated_total = jnp.zeros((), jnp.int32)
-    for level, lo in enumerate(state.log_odds):
-        factor = jnp.float32(1.0 / (2.0 ** level))
-        pts = scans.points * factor if level > 0 else scans.points
-        org = scans.origo * factor if level > 0 else scans.origo
-        shape = lo.shape[-2:]
-        free_r, occ_r, trunc_r = jax.vmap(
-            lambda p, sp, so, sm: rasterize_scan(
-                shape, p, sp, so, sm, mcfg.top_left_offset,
-                mcfg.level_scale(level),
-                cfg.level_max_ray_cells(level)))(
-            new_poses, pts, org, scans.mask)
-        g = gates[:, None, None]
-        free_set = jnp.any(free_r & g, axis=0)
-        occ_set = jnp.any(occ_r & g, axis=0)
+
+    def combined_update(_):
+        new_levels = []
+        truncated_total = jnp.zeros((), jnp.int32)
+        for level, lo in enumerate(state.log_odds):
+            factor = jnp.float32(1.0 / (2.0 ** level))
+            pts = scans.points * factor if level > 0 else scans.points
+            org = scans.origo * factor if level > 0 else scans.origo
+            shape = lo.shape[-2:]
+            free_r, occ_r, trunc_r = jax.vmap(
+                lambda p, sp, so, sm: rasterize_scan(
+                    shape, p, sp, so, sm, mcfg.top_left_offset,
+                    mcfg.level_scale(level),
+                    cfg.level_max_ray_cells(level)))(
+                new_poses, pts, org, scans.mask)
+            g = gates[:, None, None]
+            free_set = jnp.any(free_r & g, axis=0)
+            occ_set = jnp.any(occ_r & g, axis=0)
+            if robot_axis is not None:
+                # global OR across device-local robot shards (exact: the
+                # masks commute, same algebra as the beam-axis psum-OR in
+                # core/mapping.update_level)
+                free_set = jax.lax.psum(
+                    free_set.astype(jnp.int32), robot_axis) > 0
+                occ_set = jax.lax.psum(
+                    occ_set.astype(jnp.int32), robot_axis) > 0
+            free_only = free_set & ~occ_set
+            updated = apply_update(lo, free_only, occ_set,
+                                   cfg.update.cell_model,
+                                   cfg.update.log_odds_free,
+                                   cfg.update.log_odds_occupied)
+            new_levels.append(jnp.where(any_gate, updated, lo))
+            truncated_total = truncated_total + jnp.sum(
+                jnp.where(gates, trunc_r, 0))
         if robot_axis is not None:
-            # global OR across device-local robot shards (exact: the
-            # masks commute, same algebra as the beam-axis psum-OR in
-            # core/mapping.update_level)
-            free_set = jax.lax.psum(
-                free_set.astype(jnp.int32), robot_axis) > 0
-            occ_set = jax.lax.psum(
-                occ_set.astype(jnp.int32), robot_axis) > 0
-        free_only = free_set & ~occ_set
-        updated = apply_update(lo, free_only, occ_set,
-                               cfg.update.cell_model,
-                               cfg.update.log_odds_free,
-                               cfg.update.log_odds_occupied)
-        new_levels.append(jnp.where(any_gate, updated, lo))
-        truncated_total = truncated_total + jnp.sum(
-            jnp.where(gates, trunc_r, 0))
-    if robot_axis is not None:
-        truncated_total = jax.lax.psum(truncated_total, robot_axis)
-    new_log_odds = tuple(new_levels)
+            truncated_total = jax.lax.psum(truncated_total, robot_axis)
+        return tuple(new_levels), truncated_total
+
+    if robot_axis is None:
+        # skip the whole R x L rasterization on no-gate steps (the
+        # common case under the pose gate) — same pattern as
+        # core/slam._finish_step
+        new_log_odds, truncated_total = jax.lax.cond(
+            any_gate, combined_update,
+            lambda _: (tuple(state.log_odds), jnp.zeros((), jnp.int32)),
+            None)
+    else:
+        # inside shard_map a cond around collectives must run on all
+        # replicas; any_gate is identical everywhere (psum'd above), so
+        # run unconditionally and select — the same trade
+        # core/slam._finish_step makes for the beam axis
+        new_log_odds, truncated_total = combined_update(None)
+        truncated_total = jnp.where(any_gate, truncated_total, 0)
 
     new_quads = jax.lax.cond(
         any_gate,

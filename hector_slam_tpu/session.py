@@ -405,16 +405,29 @@ class SlamSession:
             hyp_j = prune_hypotheses_coarse(
                 self.state.log_odds, hyp_j, scan, self.cfg, prune_top_k,
                 quads=self.state.quads)
-            hyp = np.asarray(hyp_j)   # mxu bucket heuristic sees survivors
 
+        return self._refine_and_accept(hyp_j, scan, method, k_budget,
+                                       pallas_interpret,
+                                       use_cascade=pruned)
+
+    def _refine_and_accept(self, hyp_j, scan: Scan, method: str,
+                           k_budget: int, pallas_interpret: bool,
+                           use_cascade: bool) -> dict:
+        """Shared tail of ``relocalize`` / ``relocalize_global``: GN-
+        refine the hypothesis batch through the selected matcher, score
+        on the finest level, and re-seed the session iff some CHALLENGER
+        strictly beats the refined incumbent in slot 0 (the incumbent is
+        the bar, never applied — round-3 ADVICE #2).
+
+        ``use_cascade``: route the pallas method through the cascaded
+        wide-spread path (parallel/recovery.py — coarse-only refine,
+        trust-region mid-selection, fine refine; measured: without it
+        every fine-level step budget-overflows to the quad fallback at
+        recovery spreads). Requires >= 2 pyramid levels."""
         from .parallel.batch import residual_for_poses
         frac, overflow_steps = None, 0
         if method == "pallas":
-            if pruned and self.cfg.map.levels >= 2:
-                # wide-spread path: coarse-only refine -> one-chunk
-                # re-selection -> fine refine (parallel/recovery.py
-                # cascade; measured: without it every fine-level step
-                # budget-overflows to the quad fallback)
+            if use_cascade and self.cfg.map.levels >= 2:
                 from .parallel.recovery import cascade_refine_jit
                 result, diag = cascade_refine_jit(
                     self.state.log_odds, hyp_j, scan, self.cfg,
@@ -434,7 +447,8 @@ class SlamSession:
                                                 match_hypotheses_mxu_jit)
             result, diag = match_hypotheses_mxu_jit(
                 self.state.log_odds, hyp_j, scan, self.cfg,
-                num_buckets=auto_num_buckets(hyp), with_diag=True)
+                num_buckets=auto_num_buckets(np.asarray(hyp_j)),
+                with_diag=True)
             frac = float(diag.fast_path_fraction())
             overflow_steps = int(diag.overflow_steps)
         else:
@@ -449,7 +463,6 @@ class SlamSession:
         best = int(np.argmin(res))
         # strict improvement only: the incumbent's own (possibly refined)
         # residual is the bar — nothing beats it, nothing changes
-        # (round-3 ADVICE #2)
         accepted = bool(res[best] < res[0])
         out = {
             "pose": np.asarray(result.pose[best]),
@@ -520,7 +533,8 @@ class SlamSession:
         from .parallel.batch import residual_for_poses_jit
 
         coarse = self.cfg.map.levels - 1
-        occ = to_occupancy_grid(self.state.log_odds[coarse])
+        occ = to_occupancy_grid(self.state.log_odds[coarse],
+                                self.cfg.update.cell_model)
         free_yx = np.argwhere(occ == 0)
         n_free = len(free_yx)
         if n_free == 0:
@@ -559,68 +573,29 @@ class SlamSession:
             if len(self.state.quads) > coarse else None,
             level=coarse))
 
-        top_k = min(top_k, len(sweep) - 1)
-        order = np.argpartition(res_sweep, top_k)[:top_k]
+        # refine batch = incumbent + (top_k - 1) sweep survivors, SORTED
+        # BY HEADING: the total stays a multiple of 128 (default 1024),
+        # so cascade_refine's group-coherent path engages, and the
+        # theta-sort makes each 128-lane block near-coherent in heading
+        # (the structure its trust-region mid-selection expects)
+        top_k = min(top_k, len(sweep))
+        n_surv = top_k - 1
+        order = np.argpartition(res_sweep, n_surv)[:n_surv]
+        surv = sweep[order]
+        surv = surv[np.argsort(surv[:, 2], kind="stable")]
         hyp = np.concatenate([
             np.asarray(self.state.pose, np.float32)[None],  # incumbent
-            sweep[order]], axis=0)
+            surv], axis=0)
         hyp_j = jnp.asarray(hyp)
 
-        # stage 2: full-pyramid GN refine + finest-level scoring —
-        # identical machinery to relocalize()
-        from .parallel.batch import residual_for_poses
-        frac, overflow_steps = None, 0
-        if method == "pallas":
-            if self.cfg.map.levels >= 2:
-                # sweep survivors are scattered map-wide: the cascade
-                # (coarse-only refine -> one-chunk re-selection -> fine
-                # refine) keeps the kernel engaged exactly as in
-                # relocalize()'s wide-spread path
-                from .parallel.recovery import cascade_refine_jit
-                result, diag = cascade_refine_jit(
-                    self.state.log_odds, hyp_j, scan, self.cfg,
-                    k_budget=k_budget, quads=self.state.quads,
-                    interpret=pallas_interpret)
-            else:
-                from .parallel.pallas_match import \
-                    match_hypotheses_pallas_jit
-                result, diag = match_hypotheses_pallas_jit(
-                    self.state.log_odds, hyp_j, scan, self.cfg,
-                    k_budget=k_budget, interpret=pallas_interpret,
-                    quads=self.state.quads)
-            frac = float(diag.fast_path_fraction())
-            overflow_steps = int(diag.overflow_steps)
-        elif method == "mxu":
-            from .parallel.onehot_match import (auto_num_buckets,
-                                                match_hypotheses_mxu_jit)
-            result, diag = match_hypotheses_mxu_jit(
-                self.state.log_odds, hyp_j, scan, self.cfg,
-                num_buckets=auto_num_buckets(hyp), with_diag=True)
-            frac = float(diag.fast_path_fraction())
-            overflow_steps = int(diag.overflow_steps)
-        else:
-            from .parallel.batch import match_hypotheses_jit
-            result = match_hypotheses_jit(self.state.log_odds, hyp_j,
-                                          scan, self.cfg)
-        res = np.asarray(residual_for_poses(
-            self.state.log_odds[0], result.pose, scan, self.cfg,
-            quad=self.state.quads[0] if self.state.quads else None))
-        best = int(np.argmin(res))
-        accepted = bool(res[best] < res[0])
-        out = {
-            "pose": np.asarray(result.pose[best]),
-            "residual": float(res[best]),
-            "accepted": accepted,
-            "improvement": float(res[0] - res[best]),
-            "fast_path_fraction": frac,
-            "overflow_steps": overflow_steps,
-            "n_free_cells": int(n_free),
-            "sweep_best_residual": float(res_sweep.min()),
-        }
-        if accepted:
-            self.state = self.state._replace(
-                pose=result.pose[best],
-                covariance=result.hessian[best])
+        # stage 2: GN refine + finest-level scoring + strict accept —
+        # the shared relocalize tail, through the cascade (sweep
+        # survivors are scattered map-wide, the exact situation the
+        # cascade's coarse-first selection handles)
+        out = self._refine_and_accept(hyp_j, scan, method, k_budget,
+                                      pallas_interpret, use_cascade=True)
+        out["n_free_cells"] = int(n_free)
+        out["sweep_best_residual"] = float(res_sweep.min())
         return out
 
     # ---- products ----------------------------------------------------------
@@ -684,7 +659,8 @@ class SlamSession:
         if only_if_changed and count == self._published_update_count:
             return None
         self._published_update_count = count
-        return to_occupancy_grid(self.state.log_odds[level])
+        return to_occupancy_grid(self.state.log_odds[level],
+                                 self.cfg.update.cell_model)
 
     def save_geotiff(self, base_path: str, with_trajectory: bool = True,
                      objects=(), draw_fns=()) -> tuple:
@@ -699,7 +675,8 @@ class SlamSession:
         # publisher's update-index gate (geotiff_node.cpp:126), so a
         # geotiff export must not disturb occupancy_grid(only_if_changed=
         # True) bookkeeping for a separate consumer
-        occ = to_occupancy_grid(self.state.log_odds[0])
+        occ = to_occupancy_grid(self.state.log_odds[0],
+                                self.cfg.update.cell_model)
         path = self.trajectory.path() if with_trajectory else None
         if path is not None and not len(path):
             path = None

@@ -604,3 +604,28 @@ def test_launch_variant_presets():
     off = CITYFLYER_LOG_CONFIG.map.top_left_offset
     assert abs(off[0] - 0.05 * 2048 * 0.75) < 1e-9
     assert abs(off[1] - 0.05 * 2048 * 0.25) < 1e-9
+
+
+def test_relocalize_global_simple_count_cell_model():
+    """Round-5 review regression: free-cell sampling must classify with
+    the session's OWN cell model. With cell_model="simple_count" the
+    storage holds probabilities (free in (0, 0.5)); the former
+    log-odds-threshold classification saw zero free cells and raised on
+    a perfectly well-mapped session."""
+    cfg = SlamConfig(
+        map=MapConfig(resolution=0.05, size_x=256, size_y=256, levels=2),
+        max_beams=192, max_ray_cells=256,
+        update=UpdateConfig(cell_model="simple_count"))
+    laser = LaserModel(num_beams=181, angle_min=-1.57,
+                       angle_increment=np.pi / 180, range_min=0.1,
+                       range_max=8.0)
+    sess = SlamSession(cfg, laser)
+    world = World.corridor(length=10.0, width=3.0)
+    poses_true = corridor_trajectory(15, advance=0.05, weave=0.02)
+    for r in simulate_trajectory(world, poses_true, laser,
+                                 range_noise_std=0.003):
+        sess.process_ranges(r)
+    out = sess.relocalize_global(n_positions=256, n_theta=8, top_k=128,
+                                 method="quad", seed=1)
+    assert out["n_free_cells"] > 50, out
+    assert np.isfinite(out["residual"])
